@@ -1,0 +1,45 @@
+"""cutfemx_tpu — a TPU-native CutFEM framework (JAX/XLA/Pallas).
+
+A from-scratch re-design of the capabilities of sclaus2/CutFEMx
+(/root/reference) for TPU hardware: level-set classification as vectorized
+masks, cut-cell quadrature as padded marching-simplex tables, runtime form
+assembly as batched einsum kernels, matrix-free Krylov solvers, and
+device-mesh sharding with halo exchange for multi-chip runs.
+"""
+
+from . import la  # noqa: F401
+from . import mesh  # noqa: F401
+from .functionspace import Constant, Function, FunctionSpace, functionspace  # noqa: F401
+from .forms.measure import Measure, dS, ds, dx  # noqa: F401
+from .forms import dsl as ufl  # noqa: F401  (UFL-like namespace)
+
+import sys as _sys
+
+_sys.modules[__name__ + ".ufl"] = ufl  # allow `from cutfemx_tpu.ufl import ...`
+
+__version__ = "0.1.0"
+
+
+import importlib as _importlib
+
+_LAZY_MODULES = ("fem", "level_set", "distance", "extensions", "parallel")
+_CUT_API = ("cut", "locate_entities", "create_cut_mesh",
+            "runtime_quadrature", "runtime_quadratures", "update",
+            "ghost_penalty_facets", "interior_facets_for_cells", "CutData")
+_LEVELSET_API = ("normal", "level_set_value", "surface_normal", "conormal",
+                 "correction_distance")
+
+
+def __getattr__(name):
+    # Lazy imports to keep `import cutfemx_tpu` light and avoid cycles.
+    if name in _LAZY_MODULES:
+        mod = _importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    if name in _CUT_API:
+        api = _importlib.import_module(".cut.api", __name__)
+        return getattr(api, name)
+    if name in _LEVELSET_API:
+        mod = _importlib.import_module(".level_set", __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module 'cutfemx_tpu' has no attribute '{name}'")

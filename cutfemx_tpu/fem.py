@@ -1,0 +1,440 @@
+"""Runtime form assembly, dof deactivation, and matrix-free operators.
+
+Mirrors the public surface of ``cutfemx.fem``
+(/root/reference/python/cutfemx/fem.py): ``form``/``cut_form``,
+``assemble_scalar/vector/matrix``, ``active_domain``,
+``deactivate_outside``, ``zero_rows``, ``create_matrix``. The compiled
+kernels come from ``forms.compile``; this module decides which entities each
+integral runs over (standard vs runtime quadrature, the role of
+fem.py:_create_cpp_form in the reference) and performs the global scatter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .forms.compile import compile_integral
+from .forms.dsl import extract_arguments
+from .forms.measure import FormExpr, split_subdomain_data
+from .la import MatrixCSR
+
+__all__ = [
+    "CutForm", "form", "cut_form", "assemble_scalar", "assemble_vector",
+    "assemble_matrix", "ActiveDomain", "active_domain", "deactivate_outside",
+    "zero_rows", "create_matrix", "CutOperator",
+]
+
+
+@dataclass
+class IntegralInstance:
+    """One (kernel, entity set) pair ready for assembly."""
+    kernel: object
+    itype: str
+    runtime: bool
+    entities: np.ndarray          # cells / facets / rule parents
+    rules: object = None          # RuntimeQuadratureRules for runtime
+    data: dict = None             # batched kernel inputs (jnp pytree)
+    rows_cells: np.ndarray = None  # cells whose dofs receive contributions
+    # (E,) for cell/ext-facet instances, (E, 2) for interior facets
+
+
+class CutForm:
+    """Compiled form: mesh + integral instances + argument spaces."""
+
+    def __init__(self, form_expr: FormExpr, dtype=None):
+        if not isinstance(form_expr, FormExpr):
+            raise TypeError("form() expects expr * measure (a FormExpr)")
+        self.integrals = form_expr.integrals
+        self.arguments = {}
+        for itg in self.integrals:
+            for num, arg in extract_arguments(itg.integrand).items():
+                self.arguments.setdefault(num, arg)
+        self.rank = len(self.arguments)
+        self.mesh = self._find_mesh()
+        self.dtype = jnp.dtype(dtype) if dtype is not None else \
+            jnp.zeros(0).dtype
+        self.instances = [inst for itg in self.integrals
+                          for inst in self._build_instances(itg)]
+
+    # ------------------------------------------------------------------
+
+    def _find_mesh(self):
+        from .forms.dsl import traverse
+        from .mesh import Mesh
+        for itg in self.integrals:
+            m = itg.measure.domain
+            if m is not None:
+                return m
+            for node in traverse(itg.integrand):
+                sp = getattr(node, "space", None)
+                if sp is not None:
+                    return sp.mesh
+                fn = getattr(node, "function", None)
+                if fn is not None:
+                    return fn.function_space.mesh
+                nm = getattr(node, "mesh", None)
+                if isinstance(nm, Mesh):
+                    return nm
+        raise ValueError("cannot infer mesh for form")
+
+    @property
+    def test_space(self):
+        return self.arguments[0].space if 0 in self.arguments else None
+
+    @property
+    def trial_space(self):
+        return self.arguments[1].space if 1 in self.arguments else None
+
+    # -- instance building --------------------------------------------------
+
+    def _build_instances(self, itg):
+        mesh = self.mesh
+        itype = itg.integral_type
+        ents, rules = split_subdomain_data(itg.measure.subdomain_data)
+        out = []
+        if itype == "cell":
+            if rules is None:
+                cells = (np.arange(mesh.num_cells, dtype=np.int32)
+                         if ents is None else ents)
+                out.append(self._cell_instance(itg, cells))
+            else:
+                if ents is not None and len(ents):
+                    out.append(self._cell_instance(itg, ents))
+                out.append(self._runtime_cell_instance(itg, rules))
+        elif itype == "exterior_facet":
+            if rules is None:
+                facets = (mesh.exterior_facets if ents is None else ents)
+                out.append(self._exterior_facet_instance(itg, facets))
+            else:
+                if ents is not None and len(ents):
+                    out.append(self._exterior_facet_instance(itg, ents))
+                out.append(self._runtime_facet_instance(itg, rules))
+        else:  # interior facet
+            if rules is not None:
+                raise NotImplementedError(
+                    "runtime interior-facet rules not yet supported")
+            facets = mesh.interior_facets if ents is None else ents
+            out.append(self._interior_facet_instance(itg, facets))
+        return [o for o in out if o is not None]
+
+    def _coeff_arrays(self, kernel, cells):
+        """Gather coefficient dofs: tuple of (E, nd*bs) arrays."""
+        out = []
+        for f in kernel.coefficients:
+            bd = f.function_space.blocked_dofmap
+            if cells.ndim == 1:
+                out.append(jnp.asarray(f.x, self.dtype)[bd[cells]])
+            else:  # (E, 2) interior facet pairs -> (E, 2*nd*bs)
+                g = jnp.asarray(f.x, self.dtype)[bd[cells]]
+                out.append(g.reshape(g.shape[0], -1))
+        return tuple(out)
+
+    def _qfield_arrays(self, kernel, rules):
+        out = []
+        for qf in kernel.qfields:
+            v = qf.evaluator(rules)
+            out.append(jnp.asarray(v, self.dtype))
+        return tuple(out)
+
+    def _cell_instance(self, itg, cells):
+        cells = np.asarray(cells, dtype=np.int32)
+        if cells.size == 0:
+            return None
+        mesh = self.mesh
+        kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
+                                  runtime=False)
+        if kernel.qfields:
+            raise ValueError("QuadratureField terms require runtime rules")
+        data = dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
+            coeffs=self._coeff_arrays(kernel, cells),
+        )
+        return IntegralInstance(kernel, "cell", False, cells, data=data,
+                                rows_cells=cells)
+
+    def _runtime_cell_instance(self, itg, rules):
+        mesh = self.mesh
+        parents = np.asarray(rules.parent_map, dtype=np.int32)
+        if parents.size == 0:
+            return None
+        kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
+                                  runtime=True)
+        data = dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[parents], self.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[parents], self.dtype),
+            points=jnp.asarray(rules.points_padded, self.dtype),
+            weights=jnp.asarray(rules.weights_padded, self.dtype),
+            coeffs=self._coeff_arrays(kernel, parents),
+            qfields=self._qfield_arrays(kernel, rules),
+        )
+        return IntegralInstance(kernel, "cell", True, parents, rules=rules,
+                                data=data, rows_cells=parents)
+
+    def _exterior_facet_instance(self, itg, facets):
+        facets = np.asarray(facets, dtype=np.int32)
+        if facets.size == 0:
+            return None
+        mesh = self.mesh
+        cells = mesh.facet_cells[facets, 0]
+        local = mesh.facet_local_index[facets, 0]
+        kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
+                                  runtime=False)
+        data = dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
+            local_facet=jnp.asarray(local, jnp.int32),
+            coeffs=self._coeff_arrays(kernel, cells),
+        )
+        return IntegralInstance(kernel, "exterior_facet", False, facets,
+                                data=data, rows_cells=cells)
+
+    def _runtime_facet_instance(self, itg, rules):
+        mesh = self.mesh
+        parents = np.asarray(rules.parent_map, dtype=np.int32)
+        if parents.size == 0:
+            return None
+        cells = np.asarray(rules.parent_cells, dtype=np.int32)
+        local = np.asarray(rules.local_facets, dtype=np.int32)
+        kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
+                                  runtime=True)
+        data = dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
+            points=jnp.asarray(rules.points_padded, self.dtype),
+            weights=jnp.asarray(rules.weights_padded, self.dtype),
+            local_facet=jnp.asarray(local, jnp.int32),
+            coeffs=self._coeff_arrays(kernel, cells),
+            qfields=self._qfield_arrays(kernel, rules),
+        )
+        return IntegralInstance(kernel, "exterior_facet", True, parents,
+                                rules=rules, data=data, rows_cells=cells)
+
+    def _interior_facet_instance(self, itg, facets):
+        facets = np.asarray(facets, dtype=np.int32)
+        if facets.size == 0:
+            return None
+        mesh = self.mesh
+        cells = mesh.facet_cells[facets]          # (E, 2)
+        if (cells[:, 1] < 0).any():
+            raise ValueError("interior-facet integral over boundary facets")
+        local = mesh.facet_local_index[facets]    # (E, 2)
+        kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
+                                  runtime=False)
+        data = dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
+            local_facet=jnp.asarray(local, jnp.int32),
+            coeffs=self._coeff_arrays(kernel, cells),
+        )
+        return IntegralInstance(kernel, "interior_facet", False, facets,
+                                data=data, rows_cells=cells)
+
+    # -- dof rows -----------------------------------------------------------
+
+    def _entity_dofs(self, space, inst):
+        """Global blocked dofs receiving contributions: (E, nd*bs[*2])."""
+        bd = space.blocked_dofmap
+        cells = inst.rows_cells
+        if cells.ndim == 1:
+            return bd[cells]
+        g = bd[cells]                            # (E, 2, nd*bs)
+        return g.reshape(g.shape[0], -1)
+
+
+def form(form_expr, dtype=None):
+    return CutForm(form_expr, dtype=dtype)
+
+
+cut_form = form
+
+
+# -- assembly ---------------------------------------------------------------
+
+
+def assemble_scalar(f: CutForm):
+    if f.rank != 0:
+        raise ValueError("assemble_scalar requires a rank-0 form")
+    total = jnp.zeros((), f.dtype)
+    for inst in f.instances:
+        total = total + inst.kernel.assemble_scalar(inst.data, f.dtype)
+    return total
+
+
+def assemble_vector(f: CutForm):
+    if f.rank != 1:
+        raise ValueError("assemble_vector requires a rank-1 form")
+    V = f.test_space
+    b = jnp.zeros(V.dim, f.dtype)
+    for inst in f.instances:
+        be = inst.kernel.assemble_vector(inst.data, f.dtype)  # (E, nd)
+        rows = jnp.asarray(f._entity_dofs(V, inst))
+        b = b.at[rows.ravel()].add(be.ravel())
+    return b
+
+
+def assemble_matrix(f: CutForm):
+    """Assemble a rank-2 form into a host CSR matrix (oracle/direct path;
+    the performance path is CutOperator)."""
+    if f.rank != 2:
+        raise ValueError("assemble_matrix requires a rank-2 form")
+    V, U = f.test_space, f.trial_space
+    rows_all, cols_all, vals_all = [], [], []
+    for inst in f.instances:
+        Ae = np.asarray(inst.kernel.assemble_matrix(inst.data, f.dtype))
+        r = f._entity_dofs(V, inst)              # (E, nv)
+        c = f._entity_dofs(U, inst)              # (E, nu)
+        E, nv = r.shape
+        nu = c.shape[1]
+        rows_all.append(np.broadcast_to(r[:, :, None], (E, nv, nu)).ravel())
+        cols_all.append(np.broadcast_to(c[:, None, :], (E, nv, nu)).ravel())
+        vals_all.append(Ae.ravel())
+    if not rows_all:
+        return MatrixCSR.from_coo([], [], [], (V.dim, U.dim))
+    return MatrixCSR.from_coo(np.concatenate(rows_all),
+                              np.concatenate(cols_all),
+                              np.concatenate(vals_all), (V.dim, U.dim))
+
+
+def create_matrix(f: CutForm, extension_terms=None):
+    """Create an empty matrix with the form's sparsity (the reference's
+    create_matrix, fem.py:801-848). Host CSR path: the sparsity is implicit
+    in COO assembly, so this just returns a zero matrix of the right shape."""
+    V, U = f.test_space, f.trial_space
+    import scipy.sparse as sps
+    return MatrixCSR(sps.csr_matrix((V.dim, U.dim)))
+
+
+# -- active domain / deactivation -------------------------------------------
+
+
+@dataclass
+class ActiveDomain:
+    """Active-cell/dof bookkeeping (the reference's ActiveDomain,
+    /root/reference/cpp/cutfemx/fem/deactivate.h:340-347)."""
+    function_space: object
+    active_cells: np.ndarray
+    inactive_dofs: np.ndarray
+
+    @property
+    def active_mask(self):
+        m = np.ones(self.function_space.dim, dtype=bool)
+        m[self.inactive_dofs] = False
+        return m
+
+
+def active_domain(f: CutForm, space=None) -> ActiveDomain:
+    """Collect cells from all integral domains and mark dofs untouched by
+    any of them as inactive (deactivate.h:103-183, 388-400)."""
+    V = space or f.test_space or f.trial_space
+    if V is None:
+        raise ValueError("active_domain requires a form with arguments")
+    cells = []
+    for inst in f.instances:
+        rc = inst.rows_cells
+        cells.append(rc.ravel())
+    if cells:
+        active_cells = np.unique(np.concatenate(cells)).astype(np.int32)
+    else:
+        active_cells = np.zeros(0, np.int32)
+    touched = np.zeros(V.dim, dtype=bool)
+    touched[V.blocked_dofmap[active_cells].ravel()] = True
+    inactive = np.flatnonzero(~touched).astype(np.int32)
+    return ActiveDomain(V, active_cells, inactive)
+
+
+def deactivate_outside(A, b, domain: ActiveDomain, diag=1.0):
+    """Unit-diagonal the inactive rows and zero the rhs there
+    (deactivate.h:402-418)."""
+    rows = domain.inactive_dofs
+    if isinstance(A, MatrixCSR):
+        A.zero_rows(rows, diag=diag)
+    if b is not None:
+        if isinstance(b, np.ndarray):
+            b[rows] = 0.0
+            return A, b
+        b = b.at[jnp.asarray(rows)].set(0.0)
+    return A, b
+
+
+def zero_rows(A: MatrixCSR, rows, diag=1.0):
+    A.zero_rows(rows, diag=diag)
+    return A
+
+
+# -- matrix-free operator ---------------------------------------------------
+
+
+class CutOperator:
+    """Matrix-free operator for a rank-2 form: precomputed element matrices
+    + gather/einsum/scatter action, with inactive-dof masking folded in.
+
+    This is the TPU hot path (BASELINE.json north star): the action is a
+    batched (E, nd, nd) x (E, nd) contraction plus one segment scatter-add.
+    """
+
+    def __init__(self, f: CutForm, domain: ActiveDomain | None = None):
+        if f.rank != 2:
+            raise ValueError("CutOperator requires a rank-2 form")
+        self.form = f
+        V, U = f.test_space, f.trial_space
+        if V.dim != U.dim:
+            raise ValueError("matrix-free operator requires square forms")
+        self.dim = V.dim
+        self.element_matrices = []
+        self.row_dofs = []
+        self.col_dofs = []
+        for inst in f.instances:
+            Ae = inst.kernel.assemble_matrix(inst.data, f.dtype)
+            self.element_matrices.append(Ae)
+            self.row_dofs.append(jnp.asarray(f._entity_dofs(V, inst)))
+            self.col_dofs.append(jnp.asarray(f._entity_dofs(U, inst)))
+        if domain is not None:
+            self.active = jnp.asarray(domain.active_mask)
+        else:
+            self.active = None
+
+        mats = tuple(self.element_matrices)
+        rows = tuple(self.row_dofs)
+        cols = tuple(self.col_dofs)
+        active = self.active
+        dim = self.dim
+
+        @jax.jit
+        def apply(x):
+            if active is not None:
+                xin = jnp.where(active, x, 0.0)
+            else:
+                xin = x
+            y = jnp.zeros(dim, x.dtype)
+            for Ae, r, c in zip(mats, rows, cols):
+                xe = xin[c]
+                ye = jnp.einsum("eij,ej->ei", Ae, xe)
+                y = y.at[r.ravel()].add(ye.ravel())
+            if active is not None:
+                y = jnp.where(active, y, x)
+            return y
+
+        self._apply = apply
+
+    def __call__(self, x):
+        return self._apply(x)
+
+    def diagonal(self):
+        """Assembled diagonal (for Jacobi preconditioning)."""
+        d = jnp.zeros(self.dim, self.form.dtype)
+        for Ae, r, c in zip(self.element_matrices, self.row_dofs,
+                            self.col_dofs):
+            nd = r.shape[1]
+            # only equal (row, col) dof pairs contribute to the diagonal
+            eq = (r[:, :, None] == c[:, None, :])
+            contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
+            d = d.at[r.ravel()].add(contrib.ravel())
+        if self.active is not None:
+            d = jnp.where(self.active, d, 1.0)
+        return d

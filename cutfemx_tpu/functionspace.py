@@ -1,0 +1,218 @@
+"""Function spaces, dofmaps and Functions.
+
+Replaces the DOLFINx FunctionSpace/DofMap role (SURVEY.md L1). Dof numbering
+is global: vertex dofs first, then edge-interior, face-interior and
+cell-interior dofs, with edge-orientation permutations so shared dofs agree
+across cells (the role of DOLFINx dofmap construction).
+
+Vector-valued spaces are blocked: global dof = scalar_dof * bs + component,
+matching the DOLFINx convention the reference relies on
+(/root/reference/python/cutfemx/fem.py deactivation operates on blocked dofs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .elements import lagrange_element
+from .mesh import Mesh
+
+__all__ = ["FunctionSpace", "functionspace", "Function", "Constant"]
+
+
+class FunctionSpace:
+    def __init__(self, mesh: Mesh, family_degree, shape=()):
+        family, degree = family_degree
+        if family not in ("Lagrange", "P", "DG", "Discontinuous Lagrange"):
+            raise ValueError(f"unsupported family '{family}'")
+        self.mesh = mesh
+        self.family = "DG" if family in ("DG", "Discontinuous Lagrange") \
+            else "Lagrange"
+        self.degree = int(degree)
+        if self.degree == 0 and self.family != "DG":
+            raise ValueError("degree-0 spaces must be DG")
+        self.element = lagrange_element(mesh.cell_type, self.degree)
+        self.value_shape = tuple(shape)
+        self.bs = int(np.prod(self.value_shape)) if self.value_shape else 1
+        self._build_dofmap()
+        self._dof_coords = None
+
+    def _build_dofmap(self):
+        mesh, el = self.mesh, self.element
+        p = self.degree
+        nc = mesh.num_cells
+
+        if self.family == "DG":
+            nd = el.ndofs
+            self.dofmap = (np.arange(nc * nd, dtype=np.int32)
+                           .reshape(nc, nd))
+            self.num_scalar_dofs = nc * nd
+            return
+
+        cell = mesh.ref_cell
+        tdim = mesh.tdim
+        ndofs_cell = el.ndofs
+        dofmap = np.zeros((nc, ndofs_cell), dtype=np.int64)
+
+        # counts per entity
+        n_edge_int = max(p - 1, 0)
+        # face-interior counts (tdim==3 facets)
+        if tdim == 3:
+            fct = cell.facet_cell_type
+            if fct == "triangle":
+                n_face_int = max((p - 1) * (p - 2) // 2, 0)
+            else:  # quadrilateral
+                n_face_int = (p - 1) ** 2
+        else:
+            n_face_int = 0
+        if n_face_int > 1:
+            raise NotImplementedError(
+                "face orientation permutations needed for this degree; "
+                "supported: P<=3 on tets, P<=2 on hexes")
+
+        offset = 0
+        # vertex dofs
+        vert_off = offset
+        offset += mesh.num_vertices
+        # edge dofs
+        edge_off = offset
+        if n_edge_int and tdim >= 2:
+            offset += mesh.num_edges * n_edge_int
+        elif n_edge_int and tdim == 1:
+            pass  # interval: 'edge interior' dofs are cell-interior
+        # face dofs (3D)
+        face_off = offset
+        if n_face_int and tdim == 3:
+            offset += mesh.num_facets * n_face_int
+        # cell-interior dofs
+        cell_off = offset
+        # count interior dofs from element
+        n_cell_int = len(el.entity_dofs.get((tdim, 0), []))
+        offset += nc * n_cell_int
+        self.num_scalar_dofs = offset
+
+        # fill: iterate element dofs grouped by entity
+        for (edim, eidx), dofs in el.entity_dofs.items():
+            dofs = np.asarray(dofs)
+            if edim == 0:
+                gverts = mesh.cells[:, eidx]
+                dofmap[:, dofs[0]] = vert_off + gverts
+            elif edim == 1 and tdim >= 2:
+                ge = mesh.cell_edges[:, eidx]          # (NC,)
+                la, lb = cell.edges[eidx]
+                gva, gvb = mesh.cells[:, la], mesh.cells[:, lb]
+                fwd = (gva < gvb)                      # (NC,)
+                for k, d in enumerate(dofs):
+                    k_rev = len(dofs) - 1 - k
+                    kk = np.where(fwd, k, k_rev)
+                    dofmap[:, d] = edge_off + ge * n_edge_int + kk
+            elif edim == tdim - 1 and tdim == 3:
+                gf = mesh.cell_facets[:, eidx]
+                for k, d in enumerate(dofs):
+                    dofmap[:, d] = face_off + gf * n_face_int + k
+            elif edim == tdim:
+                for k, d in enumerate(dofs):
+                    dofmap[:, d] = cell_off + \
+                        np.arange(nc) * n_cell_int + k
+            elif edim == 1 and tdim == 1:
+                # interval interior dofs
+                for k, d in enumerate(dofs):
+                    dofmap[:, d] = cell_off + np.arange(nc) * n_cell_int + k
+            else:  # pragma: no cover
+                raise RuntimeError((edim, eidx))
+        self.dofmap = dofmap.astype(np.int32)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def blocked_dofmap(self):
+        """(NC, ndofs_cell*bs) int32 blocked (global) dofs per cell."""
+        if not hasattr(self, "_blocked_dofmap"):
+            if self.bs == 1:
+                self._blocked_dofmap = self.dofmap
+            else:
+                bd = (self.dofmap[:, :, None] * self.bs
+                      + np.arange(self.bs)[None, None, :])
+                self._blocked_dofmap = bd.reshape(
+                    self.dofmap.shape[0], -1).astype(np.int32)
+        return self._blocked_dofmap
+
+    @property
+    def dim(self):
+        """Total number of (blocked) dofs."""
+        return self.num_scalar_dofs * self.bs
+
+    @property
+    def dof_coordinates(self):
+        """(num_scalar_dofs, gdim) coordinates of each scalar dof."""
+        if self._dof_coords is None:
+            el = self.element
+            mesh = self.mesh
+            # map reference lattice points through each cell's geometry
+            phi = el.tabulate(el.dof_points.astype(np.float64))  # fixed table
+            phi_geo = lagrange_element(mesh.cell_type, 1).tabulate(
+                el.dof_points)                                   # (nd, nvert)
+            coords = np.einsum("dk,ckg->cdg", np.asarray(phi_geo),
+                               mesh.cell_vertex_coords)
+            out = np.zeros((self.num_scalar_dofs, mesh.gdim))
+            out[self.dofmap.ravel()] = coords.reshape(-1, mesh.gdim)
+            self._dof_coords = out
+            del phi
+        return self._dof_coords
+
+    def tabulate_dof_coordinates(self):
+        return self.dof_coordinates
+
+
+def functionspace(mesh: Mesh, family_degree, shape=()):
+    return FunctionSpace(mesh, family_degree, shape)
+
+
+class Function:
+    """Finite element function: a FunctionSpace plus a dof vector.
+
+    The dof vector ``x`` is a JAX array of length space.dim.
+    """
+
+    def __init__(self, space: FunctionSpace, name=None, dtype=None):
+        self.function_space = space
+        self.name = name or "f"
+        dtype = dtype or jnp.zeros(0).dtype
+        self.x = jnp.zeros(space.dim, dtype=dtype)
+
+    def interpolate(self, fn):
+        """Interpolate a callable ``fn(x)`` with x of shape (gdim, N)
+        (dolfinx convention) returning (N,) or (bs, N)."""
+        coords = self.function_space.dof_coordinates  # (nd, gdim)
+        vals = np.asarray(fn(coords.T))
+        bs = self.function_space.bs
+        if bs == 1:
+            flat = vals.reshape(-1)
+        else:
+            if vals.shape[0] != bs:
+                raise ValueError(
+                    f"expected leading dim {bs}, got {vals.shape}")
+            flat = np.ascontiguousarray(vals.T).reshape(-1)
+        self.x = jnp.asarray(flat, dtype=self.x.dtype)
+        return self
+
+    def copy(self):
+        f = Function(self.function_space, name=self.name,
+                     dtype=self.x.dtype)
+        f.x = self.x
+        return f
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+
+class Constant:
+    def __init__(self, value, dtype=None):
+        self.value = jnp.asarray(value, dtype=dtype)
+
+    @property
+    def dtype(self):
+        return self.value.dtype

@@ -1,0 +1,158 @@
+"""Linear algebra: CSR matrices, Krylov solvers, preconditioners.
+
+Replaces the DOLFINx la::MatrixCSR / PETSc role (SURVEY.md L1 and
+/root/reference/python/cutfemx/petsc.py). The CSR wrapper is host-backed
+(SciPy) for oracle tests and direct solves; the performance path is the
+matrix-free ``CutOperator`` in ``fem.py`` driving the jitted CG below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MatrixCSR", "cg", "bicgstab", "direct_solve"]
+
+
+class MatrixCSR:
+    """CSR matrix wrapper with the subset of the DOLFINx la.MatrixCSR API
+    the reference's demos/tests rely on (to_scipy, to_dense,
+    scatter_reverse)."""
+
+    def __init__(self, sp_matrix):
+        import scipy.sparse as sps
+        self._m = sps.csr_matrix(sp_matrix)
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape):
+        import scipy.sparse as sps
+        m = sps.coo_matrix((np.asarray(vals), (np.asarray(rows),
+                                               np.asarray(cols))),
+                           shape=shape).tocsr()
+        return cls(m)
+
+    @property
+    def shape(self):
+        return self._m.shape
+
+    def to_scipy(self):
+        return self._m
+
+    def to_dense(self):
+        return self._m.toarray()
+
+    def scatter_reverse(self):
+        """Ghost accumulation — single-process no-op (the reference calls
+        A.scatter_reverse() after assembly, demo_poisson.py:52)."""
+
+    def matvec(self, x):
+        return self._m @ np.asarray(x)
+
+    def diagonal(self):
+        return self._m.diagonal()
+
+    def zero_rows(self, rows, diag=1.0):
+        """Zero the given rows and set ``diag`` on the diagonal (the role of
+        /root/reference/cpp/cutfemx/fem/deactivate.h:265-320 zero_rows +
+        set_diagonal)."""
+        import scipy.sparse as sps
+        rows = np.asarray(rows, dtype=np.int64)
+        if rows.size == 0:
+            return
+        m = self._m.tolil()
+        m[rows, :] = 0.0
+        m[rows, rows] = diag
+        self._m = m.tocsr()
+
+    def __matmul__(self, x):
+        return self._m @ x
+
+
+# -- Krylov solvers (pure JAX, jittable, matrix-free) ------------------------
+
+
+def cg(operator, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=1000):
+    """Preconditioned conjugate gradients.
+
+    operator: callable x -> A@x (linear, SPD). M: callable r -> M^{-1} r.
+    Runs as a lax.while_loop; returns (x, iterations, residual_norm).
+    """
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if M is None:
+        def M(r):
+            return r
+    r = b - operator(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z).real
+    bnorm = jnp.linalg.norm(b)
+    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+
+    def cond(state):
+        x, r, p, rz, it = state
+        return (jnp.vdot(r, r).real > tol2) & (it < maxiter)
+
+    def body(state):
+        x, r, p, rz, it = state
+        Ap = operator(p)
+        alpha = rz / jnp.vdot(p, Ap).real
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z).real
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, it + 1)
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x, it, jnp.linalg.norm(r)
+
+
+def bicgstab(operator, b, x0=None, M=None, rtol=1e-10, maxiter=1000):
+    """BiCGStab for nonsymmetric operators (jittable)."""
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if M is None:
+        def M(r):
+            return r
+    r = b - operator(x)
+    rhat = r
+    rho = alpha = omega = jnp.ones((), b.dtype)
+    v = p = jnp.zeros_like(b)
+    bnorm = jnp.linalg.norm(b)
+    tol2 = (rtol * bnorm) ** 2
+
+    def cond(state):
+        x, r, p, v, rho, alpha, omega, it = state
+        return (jnp.vdot(r, r).real > tol2) & (it < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, it = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = operator(phat)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = M(s)
+        t = operator(shat)
+        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, it + 1)
+
+    state = (x, r, p, v, rho, alpha, omega, 0)
+    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    return x, it, jnp.linalg.norm(r)
+
+
+def direct_solve(A, b):
+    """Host direct solve (SciPy spsolve), the role of the reference demos'
+    serial SciPy path (demo_poisson.py:48-58)."""
+    from scipy.sparse.linalg import spsolve
+    m = A.to_scipy() if isinstance(A, MatrixCSR) else A
+    return spsolve(m.tocsr(), np.asarray(b))

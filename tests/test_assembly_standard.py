@@ -1,0 +1,130 @@
+"""Oracle pattern #1 (SURVEY.md §4): assembled matrices must match an
+independent reference assembler to near machine precision
+(mirrors /root/reference/python/tests/test_assembly_poisson.py:18-59)."""
+
+import numpy as np
+import pytest
+
+import cutfemx_tpu as cfx
+from cutfemx_tpu import fem
+from cutfemx_tpu.forms.dsl import (TestFunction, TrialFunction, grad, inner,
+                                   SpatialCoordinate, sin, pi)
+from cutfemx_tpu.forms.measure import dx
+from cutfemx_tpu.mesh import create_unit_square, create_unit_cube
+
+
+def _p1_tri_stiffness_oracle(mesh):
+    """Independent NumPy P1 stiffness assembler on triangles."""
+    nd = mesh.num_vertices
+    A = np.zeros((nd, nd))
+    for c in range(mesh.num_cells):
+        v = mesh.vertices[mesh.cells[c]]
+        J = np.stack([v[1] - v[0], v[2] - v[0]], axis=-1)
+        detJ = abs(np.linalg.det(J))
+        K = np.linalg.inv(J)
+        gref = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+        g = gref @ K  # (3, 2) physical gradients
+        Ae = 0.5 * detJ * (g @ g.T)
+        idx = mesh.cells[c]
+        A[np.ix_(idx, idx)] += Ae
+    return A
+
+
+def _p1_tri_mass_oracle(mesh):
+    nd = mesh.num_vertices
+    A = np.zeros((nd, nd))
+    Mref = np.array([[2, 1, 1], [1, 2, 1], [1, 1, 2]]) / 24.0
+    for c in range(mesh.num_cells):
+        v = mesh.vertices[mesh.cells[c]]
+        J = np.stack([v[1] - v[0], v[2] - v[0]], axis=-1)
+        detJ = abs(np.linalg.det(J))
+        idx = mesh.cells[c]
+        A[np.ix_(idx, idx)] += detJ * Mref
+    return A
+
+
+def test_p1_stiffness_matches_oracle():
+    mesh = create_unit_square(4)
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    u, v = TrialFunction(V), TestFunction(V)
+    a = fem.form(inner(grad(u), grad(v)) * dx)
+    A = fem.assemble_matrix(a).to_dense()
+    A_ref = _p1_tri_stiffness_oracle(mesh)
+    assert np.allclose(A, A_ref, atol=1e-12)
+
+
+def test_p1_mass_matches_oracle():
+    mesh = create_unit_square(3)
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    u, v = TrialFunction(V), TestFunction(V)
+    a = fem.form(u * v * dx)
+    A = fem.assemble_matrix(a).to_dense()
+    A_ref = _p1_tri_mass_oracle(mesh)
+    assert np.allclose(A, A_ref, atol=1e-13)
+
+
+@pytest.mark.parametrize("cell_type,n", [
+    ("triangle", 4), ("quadrilateral", 4),
+    ("tetrahedron", 2), ("hexahedron", 2),
+])
+@pytest.mark.parametrize("degree", [1, 2])
+def test_mass_matrix_volume(cell_type, n, degree):
+    """Row sums of the mass matrix integrate 1*1 -> total volume 1."""
+    if cell_type in ("triangle", "quadrilateral"):
+        mesh = create_unit_square(n, cell_type)
+    else:
+        mesh = create_unit_cube(n, cell_type)
+    V = cfx.functionspace(mesh, ("Lagrange", degree))
+    u, v = TrialFunction(V), TestFunction(V)
+    a = fem.form(u * v * dx)
+    A = fem.assemble_matrix(a).to_dense()
+    assert np.isclose(A.sum(), 1.0, atol=1e-12)
+    # stiffness annihilates constants
+    k = fem.form(inner(grad(u), grad(v)) * dx)
+    Kd = fem.assemble_matrix(k).to_dense()
+    assert np.allclose(Kd @ np.ones(V.dim), 0.0, atol=1e-10)
+
+
+def test_scalar_functional():
+    mesh = create_unit_square(8)
+    x = SpatialCoordinate(mesh)
+    val = fem.assemble_scalar(fem.form((x[0] ** 2 + x[1]) * dx))
+    assert np.isclose(float(val), 1.0 / 3.0 + 0.5, atol=1e-12)
+
+
+def test_vector_assembly_sin_rhs():
+    mesh = create_unit_square(6)
+    V = cfx.functionspace(mesh, ("Lagrange", 2))
+    v = TestFunction(V)
+    x = SpatialCoordinate(mesh)
+    f = sin(pi * x[0]) * sin(pi * x[1])
+    L = fem.form(f * v * dx)
+    b = np.asarray(fem.assemble_vector(L))
+    # sum of all test functions = 1 => sum(b) = integral of f
+    assert np.isclose(b.sum(), 4.0 / pi ** 2, atol=1e-4)
+
+
+def test_p2_poisson_solve_convergence():
+    """Full-mesh Poisson solve with P2: L2 error should be tiny."""
+    from cutfemx_tpu.la import direct_solve
+    mesh = create_unit_square(8)
+    V = cfx.functionspace(mesh, ("Lagrange", 2))
+    u, v = TrialFunction(V), TestFunction(V)
+    x = SpatialCoordinate(mesh)
+    f = 2 * pi ** 2 * sin(pi * x[0]) * sin(pi * x[1])
+    a = fem.form(inner(grad(u), grad(v)) * dx)
+    L = fem.form(f * v * dx)
+    A = fem.assemble_matrix(a)
+    b = np.array(fem.assemble_vector(L))
+    # strong Dirichlet on boundary dofs (x=0/1, y=0/1)
+    coords = V.dof_coordinates
+    onb = ((np.abs(coords[:, 0]) < 1e-12) | (np.abs(coords[:, 0] - 1) < 1e-12)
+           | (np.abs(coords[:, 1]) < 1e-12)
+           | (np.abs(coords[:, 1] - 1) < 1e-12))
+    rows = np.flatnonzero(onb)
+    A.zero_rows(rows, diag=1.0)
+    b[rows] = 0.0
+    uh = direct_solve(A, b)
+    u_ex = np.sin(np.pi * coords[:, 0]) * np.sin(np.pi * coords[:, 1])
+    err = np.abs(uh - u_ex).max()
+    assert err < 2e-3
