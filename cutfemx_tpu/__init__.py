@@ -17,6 +17,22 @@ import sys as _sys
 
 _sys.modules[__name__ + ".ufl"] = ufl  # allow `from cutfemx_tpu.ufl import ...`
 
+# The public `cut(...)` entry point shadows the `cut` subpackage attribute
+# (same layout as the reference: cutfemx.cut is both a module and the API
+# function; the function wins at package level).
+from .cut import api as _cut_api  # noqa: E402
+
+cut = _cut_api.cut
+update = _cut_api.update
+locate_entities = _cut_api.locate_entities
+runtime_quadrature = _cut_api.runtime_quadrature
+runtime_quadratures = _cut_api.runtime_quadratures
+create_cut_mesh = _cut_api.create_cut_mesh
+ghost_penalty_facets = _cut_api.ghost_penalty_facets
+interior_facets_for_cells = _cut_api.interior_facets_for_cells
+CutData = _cut_api.CutData
+CutMesh = _cut_api.CutMesh
+
 __version__ = "0.1.0"
 
 

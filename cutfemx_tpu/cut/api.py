@@ -1,0 +1,249 @@
+"""Public cut API: cut, locate_entities, runtime_quadrature, create_cut_mesh,
+ghost_penalty_facets — mirrors /root/reference/python/cutfemx/cut.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..functionspace import Function
+from ..mesh import Mesh
+from .classify import CutData
+from .quadrature import (RuntimeQuadratureRules, _map_rule, _march_parts,
+                         facet_volume_rules, interface_rules, volume_rules)
+from .selector import DOMAIN_INTERSECTED, parse_selector
+from .tables import simplex_cut_tables
+
+__all__ = [
+    "cut", "update", "locate_entities", "runtime_quadrature",
+    "runtime_quadratures", "create_cut_mesh", "CutMesh", "CutData",
+    "ghost_penalty_facets", "interior_facets_for_cells",
+]
+
+
+def _normalize_level_sets(level_set):
+    if isinstance(level_set, Function):
+        return [level_set]
+    if isinstance(level_set, Sequence) and not isinstance(level_set, str):
+        out = list(level_set)
+        if not out or not all(isinstance(f, Function) for f in out):
+            raise TypeError("cut expects a Function or a non-empty sequence "
+                            "of Functions")
+        return out
+    raise TypeError("cut expects a Function or a sequence of Functions")
+
+
+def cut(level_set, entities=None, entity_dim=None, *,
+        cut_approximation="auto", cut_approximation_order=1,
+        max_refinement_iterations=8, edge_max_depth=20) -> CutData:
+    """Classify cells (or selected entities) against one or more level sets
+    (/root/reference/python/cutfemx/cut.py:186-249)."""
+    level_sets = _normalize_level_sets(level_set)
+    options = dict(cut_approximation=cut_approximation,
+                   cut_approximation_order=cut_approximation_order,
+                   max_refinement_iterations=max_refinement_iterations,
+                   edge_max_depth=edge_max_depth)
+    return CutData(level_sets, entities=entities, entity_dim=entity_dim,
+                   options=options)
+
+
+def update(cut_data: CutData):
+    cut_data.update()
+
+
+def locate_entities(cut_data: CutData, ls_part: str):
+    return cut_data.locate(ls_part)
+
+
+def _single_clause(selector):
+    terms = parse_selector(selector)
+    if len(terms) != 1 or len(terms[0]) != 1:
+        raise NotImplementedError(
+            "runtime quadrature currently supports single-clause selectors "
+            f"(got {selector!r})")
+    return terms[0][0]
+
+
+def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
+                       backend: str = "straight") -> RuntimeQuadratureRules:
+    """Runtime quadrature for the selected part on intersected entities
+    (cut.cpp:1311-1335). Inclusive selectors produce the same rules as the
+    strict ones (test_cut_api.py:702-711)."""
+    if backend not in ("straight", "algoim", "algoim_general"):
+        raise ValueError(f"unknown backend '{backend}'")
+    name, op = _single_clause(ls_part)
+    try:
+        idx = cut_data.level_set_names.index(name)
+    except ValueError:
+        raise ValueError(f"unknown level-set name '{name}'") from None
+    phi = cut_data.level_sets[idx]
+    mesh = cut_data.mesh
+    cut_entities = cut_data.hosted_entities[
+        cut_data.domains[idx] == DOMAIN_INTERSECTED]
+
+    if cut_data.hosted_dim == mesh.tdim:
+        if op in ("<", "<="):
+            return volume_rules(mesh, phi, cut_entities, order, side="<")
+        if op in (">", ">="):
+            return volume_rules(mesh, phi, cut_entities, order, side=">")
+        return interface_rules(mesh, phi, cut_entities, order)
+    if cut_data.hosted_dim == mesh.tdim - 1:
+        if op == "=":
+            raise NotImplementedError(
+                "codim-2 interface rules on facets are not supported")
+        side = "<" if op in ("<", "<=") else ">"
+        return facet_volume_rules(mesh, phi, cut_entities, order, side=side)
+    raise NotImplementedError(f"entity dim {cut_data.hosted_dim}")
+
+
+def runtime_quadratures(cut_data: CutData, ls_parts, order: int, *,
+                        backend: str = "straight"):
+    return {str(p): runtime_quadrature(cut_data, str(p), order,
+                                       backend=backend)
+            for p in ls_parts}
+
+
+# -- cut visualisation meshes ------------------------------------------------
+
+
+class CutMesh:
+    """Visualisation mesh of a selected cut part
+    (/root/reference/python/cutfemx/cut.py:60-92)."""
+
+    def __init__(self, mesh, parent_index, is_cut_cell):
+        self.mesh = mesh
+        self.parent_index = np.asarray(parent_index, dtype=np.int32)
+        self.is_cut_cell = np.asarray(is_cut_cell, dtype=np.int8)
+
+
+_SIMPLEX_OF_DIM = {1: "interval", 2: "triangle", 3: "tetrahedron"}
+
+
+def create_cut_mesh(cut_data: CutData, ls_part: str, mode=None) -> CutMesh:
+    """Build a simplex visualisation mesh of the selected part
+    (cut.cpp:1065-1250). mode: 'full' includes uncut cells of the phase,
+    'cut_only' only the cut fragments; 'auto' = 'full' for volume parts,
+    'cut_only' for interfaces."""
+    mode = mode or "auto"
+    name, op = _single_clause(ls_part)
+    idx = cut_data.level_set_names.index(name)
+    phi = cut_data.level_sets[idx]
+    mesh = cut_data.mesh
+    tdim = mesh.tdim
+    if cut_data.hosted_dim != tdim:
+        raise NotImplementedError("cut meshes require cell-hosted CutData")
+    if mode == "auto":
+        mode = "cut_only" if op == "=" else "full"
+
+    from ..elements import lagrange_element
+    cut_cells = cut_data.hosted_entities[
+        cut_data.domains[idx] == DOMAIN_INTERSECTED]
+    cell = mesh.ref_cell
+    split = cell.simplex_split
+    VOL, SURF = simplex_cut_tables(tdim)
+
+    verts_out, cells_out, parents, iscut = [], [], [], []
+    nv_off = 0
+
+    def add_parts(X, valid, parent_cells, cut_flag):
+        nonlocal nv_off
+        Xn = np.asarray(X)
+        vn = np.asarray(valid)
+        C, M, m, g = Xn.shape
+        sel = np.nonzero(vn)
+        npart = len(sel[0])
+        if npart == 0:
+            return
+        pv = Xn[sel[0], sel[1]]               # (npart, m, gdim)
+        verts_out.append(pv.reshape(-1, g))
+        conn = (np.arange(npart * m) + nv_off).reshape(npart, m)
+        cells_out.append(conn)
+        nv_off += npart * m
+        parents.append(parent_cells[sel[0]])
+        iscut.append(np.full(npart, cut_flag, np.int8))
+
+    # cut fragments (march in physical coordinates)
+    if len(cut_cells):
+        el = phi.function_space.element
+        dofs = jnp.asarray(phi.x)[phi.function_space.dofmap[cut_cells]]
+        coords = mesh.cell_vertex_coords[cut_cells]
+        ref_verts = cell.vertices
+        tab = np.asarray(el.tabulate(ref_verts))
+        phiv = np.einsum("pn,cn->cp", tab, np.asarray(dofs))
+        for sub in split:
+            pv = jnp.asarray(coords[:, sub, :])
+            ph = jnp.asarray(phiv[:, sub])
+            if op == "=":
+                X, valid = _march_parts(ph, pv, tdim, SURF)
+            else:
+                sgn = -1.0 if op in (">", ">=") else 1.0
+                X, valid = _march_parts(sgn * ph, pv, tdim, VOL)
+            add_parts(X, valid, cut_cells, 1)
+
+    # whole uncut cells of the phase
+    if mode == "full" and op != "=":
+        from .selector import DOMAIN_INSIDE, DOMAIN_OUTSIDE
+        want = DOMAIN_INSIDE if op in ("<", "<=") else DOMAIN_OUTSIDE
+        full_cells = cut_data.hosted_entities[cut_data.domains[idx] == want]
+        if len(full_cells):
+            coords = mesh.cell_vertex_coords[full_cells]
+            for sub in split:
+                pv = coords[:, sub, :]          # (C, tdim+1, gdim)
+                C = pv.shape[0]
+                add_parts(pv[:, None, :, :], np.ones((C, 1), bool),
+                          full_cells, 0)
+
+    if not verts_out:
+        return CutMesh(None, np.zeros(0, np.int32), np.zeros(0, np.int8))
+    verts = np.concatenate(verts_out)
+    cells = np.concatenate(cells_out)
+    out_dim = tdim - 1 if op == "=" else tdim
+    vis = Mesh(verts, cells, _SIMPLEX_OF_DIM[out_dim])
+    return CutMesh(vis, np.concatenate(parents), np.concatenate(iscut))
+
+
+# -- stabilization facet bands ----------------------------------------------
+
+
+def interior_facets_for_cells(msh: Mesh, cells, *, include_ghosts=False):
+    """Interior facets whose both neighbors are in ``cells``
+    (cut.cpp:926-994)."""
+    sel = np.zeros(msh.num_cells, dtype=bool)
+    sel[np.asarray(cells, dtype=np.int64)] = True
+    fc = msh.facet_cells
+    interior = fc[:, 1] >= 0
+    both = interior & sel[fc[:, 0]] & sel[np.maximum(fc[:, 1], 0)]
+    return np.flatnonzero(both).astype(np.int32)
+
+
+def ghost_penalty_facets(cut_data: CutData, selector: str, *, depth=1,
+                         include_ghosts=False):
+    """Interior facets of the cut-cell stabilization band: facets adjacent
+    to a cut cell whose both neighbors are active (cut or selected)
+    (/root/reference/python/cutfemx/cut.py:340-380)."""
+    if depth != 1:
+        raise NotImplementedError(
+            "ghost_penalty_facets currently supports depth=1.")
+    if cut_data.entity_dim is not None and \
+            cut_data.entity_dim != cut_data.mesh.tdim:
+        raise ValueError("ghost_penalty_facets expects cell-hosted CutData.")
+    msh = cut_data.mesh
+    cut_cells = locate_entities(cut_data, "phi=0" if
+                                "phi" in cut_data.level_set_names else
+                                f"{cut_data.level_set_names[0]}=0")
+    selected = locate_entities(cut_data, selector)
+    active = np.zeros(msh.num_cells, dtype=bool)
+    active[cut_cells] = True
+    active[selected] = True
+    is_cut = np.zeros(msh.num_cells, dtype=bool)
+    is_cut[cut_cells] = True
+    fc = msh.facet_cells
+    interior = fc[:, 1] >= 0
+    c1 = np.maximum(fc[:, 1], 0)
+    both_active = interior & active[fc[:, 0]] & active[c1]
+    any_cut = is_cut[fc[:, 0]] | is_cut[c1]
+    return np.flatnonzero(both_active & any_cut).astype(np.int32)

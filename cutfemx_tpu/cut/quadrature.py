@@ -1,11 +1,36 @@
-"""Runtime (cut-cell) quadrature rules — placeholder, implemented in the cut
-layer milestone."""
+"""Runtime (cut-cell) quadrature generation.
+
+Replaces the CutCells quadrature backend and the reference's
+``runtime_quadrature`` path (/root/reference/cpp/cutfemx/cut/cut.cpp:
+1311-1406): every cut cell emits a fixed maximum number of quadrature points
+(zero-weight padded), so the whole pipeline is static-shaped and vectorized.
+
+Uniform weight construction: a cut part is a k-simplex with vertex matrix S
+in parent *reference* coordinates (k = tdim for volume parts, tdim-1 for
+interface / facet-hosted parts). With T = [S_1-S_0, ..., S_k-S_0] and the
+parent geometry Jacobian J(xi) the physical weight of rule point q is
+
+    w_q * sqrt(det( (J T)^T (J T) ))
+
+which covers volume (|det J||det T|), interface, and facet-hosted rules with
+one formula. Runtime rules therefore carry PHYSICAL weights; the assembly
+kernels skip the detJ scaling for them (forms/compile.py docstring).
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["RuntimeQuadratureRules"]
+import jax
+import jax.numpy as jnp
+
+from ..cells import reference_cell
+from ..elements import lagrange_element
+from ..quadrature import quadrature_rule
+from .tables import canonical_edges, simplex_cut_tables
+
+__all__ = ["RuntimeQuadratureRules", "volume_rules", "interface_rules",
+           "facet_volume_rules"]
 
 
 class RuntimeQuadratureRules:
@@ -18,17 +43,20 @@ class RuntimeQuadratureRules:
     kind = "per_entity"
 
     def __init__(self, tdim, parent_map, points_padded, weights_padded,
-                 parent_cells=None, local_facets=None, physical_points=None):
+                 mesh=None, parent_cells=None, local_facets=None,
+                 normals_padded=None):
         self.tdim = int(tdim)
         self.parent_map = np.asarray(parent_map, dtype=np.int32)
         self.points_padded = points_padded
         self.weights_padded = weights_padded
+        self.mesh = mesh
         # facet-hosted rules: background cell + local facet per rule
         self.parent_cells = (self.parent_map if parent_cells is None
                              else np.asarray(parent_cells, np.int32))
         self.local_facets = local_facets
-        self._physical_points = physical_points
+        self.normals_padded = normals_padded  # interface geometric normals
         self._compact = None
+        self._physical_points = None
 
     # -- compact (reference-contract) views ---------------------------------
 
@@ -64,3 +92,302 @@ class RuntimeQuadratureRules:
     @property
     def mask(self):
         return self._compact_arrays()[3]
+
+    @property
+    def gdim(self):
+        return self.mesh.gdim if self.mesh is not None else self.tdim
+
+    @property
+    def physical_points(self):
+        """(gdim, total_nq) lazily computed pushforward (the reference's
+        cached physical_points, cut/runtime_quadrature.h:43-232)."""
+        if self._physical_points is None:
+            if self.mesh is None:
+                raise RuntimeError("rules have no mesh attached")
+            el = lagrange_element(self.mesh.cell_type, 1)
+            pts = np.asarray(self.points_padded, dtype=np.float64)
+            phi = np.asarray(el.tabulate(pts))  # (n, Qmax, nv)
+            coords = self.mesh.cell_vertex_coords[self.parent_cells]
+            phys = np.einsum("nqv,nvg->nqg", phi, coords)
+            mask = self._compact_arrays()[3]
+            self._physical_points = np.ascontiguousarray(phys[mask].T)
+        return self._physical_points
+
+    def with_physical_points(self):
+        _ = self.physical_points
+        return self
+
+
+# ---------------------------------------------------------------------------
+# vectorized marching-simplex machinery
+# ---------------------------------------------------------------------------
+
+
+def _march_parts(phis, verts, k, table):
+    """Extract cut parts of embedded k-simplices.
+
+    phis:  (C, k+1) level-set values at simplex vertices
+    verts: (C, k+1, tdim) simplex vertex coords (parent-reference space)
+    table: (2^(k+1), max_parts, m) node-id table (m = k+1 for volume parts,
+           k for interface parts)
+
+    Returns (X (C, max_parts, m, tdim), valid (C, max_parts)).
+    """
+    C = phis.shape[0]
+    edges = canonical_edges(k)
+    signs = (phis < 0.0).astype(jnp.int32)
+    case = jnp.zeros(C, jnp.int32)
+    for i in range(k + 1):
+        case = case + (signs[:, i] << i)
+
+    # node coordinates: vertices then canonical-edge intersections
+    nodes = [verts[:, i, :] for i in range(k + 1)]
+    for (a, b) in edges:
+        fa, fb = phis[:, a], phis[:, b]
+        denom = fa - fb
+        t = jnp.where(jnp.abs(denom) > 1e-300, fa / denom, 0.5)
+        t = jnp.clip(t, 0.0, 1.0)
+        nodes.append(verts[:, a, :] + t[:, None] * (verts[:, b, :]
+                                                    - verts[:, a, :]))
+    nodes = jnp.stack(nodes, axis=1)            # (C, nn, tdim)
+
+    tab = jnp.asarray(table)[case]              # (C, max_parts, m)
+    valid = tab[:, :, 0] >= 0
+    tab = jnp.maximum(tab, 0)
+    X = jnp.take_along_axis(nodes[:, None, :, :],
+                            tab[:, :, :, None], axis=2)
+    return X, valid
+
+
+def _physical_weights(mesh_cell_type, cell_coords, points, T, rule_w, valid):
+    """w_q * gram_det(J(xi_q) @ T) with padding zeroed.
+
+    cell_coords: (C, nv, gdim); points: (C, M, nq, tdim);
+    T: (C, M, tdim, k); rule_w: (nq,); valid: (C, M).
+    Returns weights (C, M, nq).
+    """
+    el = lagrange_element(mesh_cell_type, 1)
+    C, M, nq, tdim = points.shape
+    dphi = el.tabulate_grad(points.reshape(C, M * nq, tdim))  # (C,Mnq,nv,t)
+    J = jnp.einsum("cvg,cqvt->cqgt", cell_coords, dphi)
+    J = J.reshape(C, M, nq, J.shape[-2], tdim)
+    G = jnp.einsum("cmqgt,cmtk->cmqgk", J, T)
+    GTG = jnp.einsum("cmqgk,cmqgl->cmqkl", G, G)
+    k = T.shape[-1]
+    if k == 1:
+        gram = jnp.sqrt(jnp.abs(GTG[..., 0, 0]))
+    else:
+        gram = jnp.sqrt(jnp.abs(jnp.linalg.det(GTG)))
+    w = rule_w[None, None, :] * gram
+    return jnp.where(valid[:, :, None], w, 0.0)
+
+
+def _map_rule(X, rule_pts):
+    """Map reference-simplex rule points onto part simplices.
+
+    X: (C, M, m, tdim) part vertices (m = k+1); rule_pts: (nq, k).
+    Returns (points (C, M, nq, tdim), T (C, M, tdim, k))."""
+    T = jnp.moveaxis(X[:, :, 1:, :] - X[:, :, :1, :], 2, 3)  # (C,M,tdim,k)
+    pts = X[:, :, None, 0, :] + jnp.einsum("qk,cmtk->cmqt",
+                                           jnp.asarray(rule_pts), T)
+    return pts, T
+
+
+_SIMPLEX_NAME = {1: "interval", 2: "triangle", 3: "tetrahedron"}
+
+
+def _eval_phi_at(space, dofs_per_cell, ref_points):
+    """Tabulate a level-set function at fixed reference points of each cell.
+
+    dofs_per_cell: (C, ndofs) values; ref_points: (npt, tdim) static.
+    Returns (C, npt)."""
+    tab = np.asarray(space.element.tabulate(
+        np.asarray(ref_points, dtype=np.float64)))  # (npt, ndofs)
+    return jnp.einsum("pn,cn->cp", jnp.asarray(tab, dofs_per_cell.dtype),
+                      dofs_per_cell)
+
+
+def _cell_phi_dofs(phi, cells):
+    V = phi.function_space
+    return jnp.asarray(phi.x)[V.dofmap[cells]]
+
+
+def volume_rules(mesh, phi, cut_cells, order, side="<"):
+    """Padded volume rules for {phi < 0} (side '<') or {phi > 0} (side '>')
+    on the given cut cells. Points in parent reference coords; weights
+    physical."""
+    cell = mesh.ref_cell
+    tdim = cell.tdim
+    split = cell.simplex_split                    # (nsub, d+1) local verts
+    ref_verts = cell.vertices                     # (nv, tdim)
+    VOL, _ = simplex_cut_tables(tdim)
+    rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[tdim], order)
+    nq = len(rule_w)
+
+    cut_cells = np.asarray(cut_cells, dtype=np.int32)
+    C = len(cut_cells)
+    dofs = _cell_phi_dofs(phi, cut_cells)
+    phi_verts = _eval_phi_at(phi.function_space, dofs, ref_verts)  # (C, nv)
+    if side == ">":
+        phi_verts = -phi_verts
+
+    coords = jnp.asarray(mesh.cell_vertex_coords[cut_cells])
+
+    all_pts, all_w = [], []
+    for sub in split:
+        verts = jnp.broadcast_to(
+            jnp.asarray(ref_verts[sub]), (C, tdim + 1, tdim))
+        X, valid = _march_parts(phi_verts[:, sub], verts, tdim, VOL)
+        pts, T = _map_rule(X, rule_pts)
+        w = _physical_weights(mesh.cell_type, coords, pts, T,
+                              jnp.asarray(rule_w), valid)
+        all_pts.append(pts.reshape(C, -1, tdim))
+        all_w.append(w.reshape(C, -1))
+    points = jnp.concatenate(all_pts, axis=1)
+    weights = jnp.concatenate(all_w, axis=1)
+    return RuntimeQuadratureRules(tdim, cut_cells, points, weights,
+                                  mesh=mesh)
+
+
+def interface_rules(mesh, phi, cut_cells, order):
+    """Padded interface ({phi = 0}) rules on cut cells, with geometric
+    normals oriented by grad(phi) (outward from the {phi<0} phase, the role
+    of /root/reference/cpp/cutfemx/geometry/surface_normal.h)."""
+    cell = mesh.ref_cell
+    tdim = cell.tdim
+    split = cell.simplex_split
+    ref_verts = cell.vertices
+    _, SURF = simplex_cut_tables(tdim)
+    rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[tdim - 1], order) \
+        if tdim > 1 else (np.zeros((1, 0)), np.ones(1))
+    nq = len(rule_w)
+
+    cut_cells = np.asarray(cut_cells, dtype=np.int32)
+    C = len(cut_cells)
+    dofs = _cell_phi_dofs(phi, cut_cells)
+    phi_verts = _eval_phi_at(phi.function_space, dofs, ref_verts)
+    coords = jnp.asarray(mesh.cell_vertex_coords[cut_cells])
+
+    all_pts, all_w, all_n = [], [], []
+    for sub in split:
+        sverts = jnp.broadcast_to(
+            jnp.asarray(ref_verts[sub]), (C, tdim + 1, tdim))
+        sphis = phi_verts[:, sub]
+        X, valid = _march_parts(sphis, sverts, tdim, SURF)
+        pts, T = _map_rule(X, rule_pts)           # T: (C, M, tdim, tdim-1)
+        w = _physical_weights(mesh.cell_type, coords, pts, T,
+                              jnp.asarray(rule_w), valid)
+
+        # geometric normal: reference-space normal of the planar part,
+        # pushed forward covariantly (J^-T), oriented along grad(phi)
+        gphi_ref = _linear_gradient(sverts, sphis)        # (C, tdim)
+        nref = _part_normals(T)                           # (C, M, tdim)
+        orient = jnp.sign(jnp.einsum("cmt,ct->cm", nref, gphi_ref))
+        orient = jnp.where(orient == 0, 1.0, orient)
+        nref = nref * orient[:, :, None]
+        nphys = _push_normal(mesh.cell_type, coords, pts, nref)
+        all_pts.append(pts.reshape(C, -1, tdim))
+        all_w.append(w.reshape(C, -1))
+        all_n.append(nphys.reshape(C, nphys.shape[1] * nphys.shape[2], -1))
+    points = jnp.concatenate(all_pts, axis=1)
+    weights = jnp.concatenate(all_w, axis=1)
+    normals = jnp.concatenate(all_n, axis=1)
+    return RuntimeQuadratureRules(tdim, cut_cells, points, weights,
+                                  mesh=mesh, normals_padded=normals)
+
+
+def _linear_gradient(verts, vals):
+    """Gradient of the linear interpolant on each simplex.
+
+    verts: (C, k+1, tdim); vals: (C, k+1) -> (C, tdim)."""
+    E = verts[:, 1:, :] - verts[:, :1, :]          # (C, k, t)
+    d = vals[:, 1:] - vals[:, :1]                  # (C, k)
+    # solve E @ g = d in least squares sense (square when k == tdim)
+    ET = jnp.swapaxes(E, 1, 2)
+    A = E @ ET if E.shape[1] != E.shape[2] else E
+    if E.shape[1] == E.shape[2]:
+        return jnp.linalg.solve(E, d[..., None])[..., 0]
+    g = jnp.linalg.solve(E @ ET, d[..., None])
+    return (ET @ g)[..., 0]
+
+
+def _part_normals(T):
+    """Unit normal (up to sign) of codim-1 parts from their reference
+    tangent matrix T: (C, M, tdim, tdim-1) -> (C, M, tdim)."""
+    tdim = T.shape[2]
+    if tdim == 2:
+        t = T[:, :, :, 0]
+        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    elif tdim == 3:
+        n = jnp.cross(T[:, :, :, 0], T[:, :, :, 1])
+    else:
+        n = jnp.ones(T.shape[:2] + (1,), T.dtype)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.where(norm > 0, norm, 1.0)
+
+
+def _push_normal(cell_type, coords, pts, nref):
+    """Covariant pushforward n_phys ~ J^{-T} n_ref, normalized.
+
+    coords: (C, nv, g); pts: (C, M, nq, t); nref: (C, M, t)."""
+    el = lagrange_element(cell_type, 1)
+    C, M, nq, tdim = pts.shape
+    dphi = el.tabulate_grad(pts.reshape(C, M * nq, tdim))
+    J = jnp.einsum("cvg,cqvt->cqgt", coords, dphi).reshape(C, M, nq, -1,
+                                                           tdim)
+    if J.shape[-2] == tdim:
+        K = jnp.linalg.inv(J)                     # (C, M, nq, t, g)
+    else:
+        K = jnp.linalg.pinv(J)
+    n = jnp.einsum("cmqtg,cmt->cmqg", K, nref)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.where(norm > 0, norm, 1.0)
+
+
+def facet_volume_rules(mesh, phi, facets, order, side="<"):
+    """Cut rules for {phi<0} parts of the given facets (facet-hosted cuts,
+    the reference's entity-subset cuts, cut.cpp:540-591,1022-1063). Points
+    in the reference coords of the first adjacent cell; weights physical."""
+    cell = mesh.ref_cell
+    tdim = cell.tdim
+    k = tdim - 1
+    facets = np.asarray(facets, dtype=np.int32)
+    C = len(facets)
+    cells = mesh.facet_cells[facets, 0]
+    locals_ = mesh.facet_local_index[facets, 0]
+
+    VOL, _ = simplex_cut_tables(k) if k >= 1 else (None, None)
+    rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[k], order)
+
+    # facet vertices in cell reference coords
+    fverts_ref = cell.facet_vertices_coords()     # (nf, nvf, tdim)
+    fv = jnp.asarray(fverts_ref)[jnp.asarray(locals_)]  # (C, nvf, tdim)
+
+    dofs = _cell_phi_dofs(phi, cells)
+    coords = jnp.asarray(mesh.cell_vertex_coords[cells])
+
+    # facet simplex split (quad facets of hexes -> 2 triangles)
+    if cell.facet_cell_type == "quadrilateral":
+        fsplit = reference_cell("quadrilateral").simplex_split
+    else:
+        fsplit = np.arange(k + 1, dtype=np.int32)[None, :]
+
+    el = phi.function_space.element
+    all_pts, all_w = [], []
+    for sub in fsplit:
+        verts = fv[:, np.asarray(sub), :]         # (C, k+1, tdim)
+        # evaluate phi at these per-facet reference positions
+        tab = el.tabulate(verts)                  # (C, k+1, ndofs)
+        phis = jnp.einsum("cpn,cn->cp", tab, dofs)
+        if side == ">":
+            phis = -phis
+        X, valid = _march_parts(phis, verts, k, VOL)
+        pts, T = _map_rule(X, rule_pts)
+        w = _physical_weights(mesh.cell_type, coords, pts, T,
+                              jnp.asarray(rule_w), valid)
+        all_pts.append(pts.reshape(C, -1, tdim))
+        all_w.append(w.reshape(C, -1))
+    points = jnp.concatenate(all_pts, axis=1)
+    weights = jnp.concatenate(all_w, axis=1)
+    return RuntimeQuadratureRules(tdim, facets, points, weights, mesh=mesh,
+                                  parent_cells=cells, local_facets=locals_)
