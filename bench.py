@@ -1,0 +1,123 @@
+"""Headline benchmark: 3D cut-Poisson (sphere level set, P2, matrix-free
+CG + Jacobi) assembly+solve wall-clock — the driver-defined target of
+BASELINE.json ("3D cut-Poisson assembly+CG solve wall-clock at 10M DOFs").
+
+Runs on the default JAX backend (the real TPU chip under the driver).
+Prints ONE JSON line. The reference publishes no numbers (BASELINE.md); the
+vs_baseline field compares our DOF throughput against an estimated MPI
+CutFEMx rate of 1.1e5 dof/s for assembly+solve on a 64-core node (10M DOFs
+in ~90 s), documented here as an estimate.
+
+Env knobs: CUTFEMX_BENCH_N (mesh resolution, default 64),
+CUTFEMX_BENCH_ITERS (CG iterations, default 200).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import cutfemx_tpu as cfx
+    from cutfemx_tpu import fem
+    from cutfemx_tpu.forms.dsl import (CellDiameter, SpatialCoordinate,
+                                       TestFunction, TrialFunction, avg,
+                                       dot, grad, inner, jump, pi, sin,
+                                       FacetNormal)
+    from cutfemx_tpu.forms.measure import Measure
+    from cutfemx_tpu.la import cg
+
+    n = int(os.environ.get("CUTFEMX_BENCH_N", "64"))
+    iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "200"))
+    deg, r, gamma = 2, 0.46, 40.0
+
+    host_t0 = time.perf_counter()
+    mesh = cfx.mesh.create_box((-1, -1, -1), (1, 1, 1), (n, n, n))
+    Vphi = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(Vphi, name="phi")
+    phi.interpolate(
+        lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2 + x[2] ** 2) - r)
+    cd = cfx.cut(phi)
+    inside = cfx.locate_entities(cd, "phi<0")
+    V = cfx.functionspace(mesh, ("Lagrange", deg))
+    host_setup = time.perf_counter() - host_t0
+
+    def build_forms():
+        vol = cfx.runtime_quadrature(cd, "phi<0", 2 * deg)
+        srf = cfx.runtime_quadrature(cd, "phi=0", 2 * deg)
+        gp = cfx.ghost_penalty_facets(cd, "phi<0")
+        dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
+        dxg = Measure("dx", domain=mesh, subdomain_data=srf)
+        dSg = Measure("dS", domain=mesh, subdomain_data=gp)
+        u, v = TrialFunction(V), TestFunction(V)
+        x = SpatialCoordinate(mesh)
+        ng = cfx.normal(phi)
+        nf = FacetNormal(mesh)
+        h = CellDiameter(mesh)
+        ue = sin(pi * x[0]) * sin(pi * x[1]) * sin(pi * x[2])
+        f = 3 * pi ** 2 * ue
+        a = inner(grad(u), grad(v)) * dxo
+        a += (-dot(grad(u), ng) * v - dot(grad(v), ng) * u
+              + gamma / h * u * v) * dxg
+        a += 0.1 * avg(h) * inner(jump(grad(u), nf),
+                                  jump(grad(v), nf)) * dSg
+        L = f * v * dxo + (-dot(grad(v), ng) * ue
+                           + gamma / h * ue * v) * dxg
+        return fem.form(a), fem.form(L)
+
+    # warm-up: compile all kernels once
+    af, Lf = build_forms()
+    dom = fem.active_domain(af)
+    op = fem.CutOperator(af, dom)
+    d = op.diagonal()
+    b = fem.assemble_vector(Lf)
+    bj = jnp.where(jnp.asarray(dom.active_mask), b, 0.0)
+    x, its, res = cg(op, bj, M=lambda r_: r_ / d, rtol=0.0, maxiter=5)
+    x.block_until_ready()
+
+    # timed run: runtime quadrature + assembly + CG solve
+    t0 = time.perf_counter()
+    af, Lf = build_forms()
+    dom = fem.active_domain(af)
+    op = fem.CutOperator(af, dom)
+    d = op.diagonal()
+    b = fem.assemble_vector(Lf)
+    bj = jnp.where(jnp.asarray(dom.active_mask), b, 0.0)
+    t_asm = time.perf_counter()
+    x, its, res = cg(op, bj, M=lambda r_: r_ / d, rtol=1e-6,
+                     maxiter=iters)
+    x.block_until_ready()
+    t1 = time.perf_counter()
+
+    dofs = V.dim
+    total = t1 - t0
+    rate = dofs / total
+    baseline_rate = 1.1e5  # est. MPI CutFEMx 64-core dof/s (see docstring)
+    result = {
+        "metric": "cut_poisson_3d_p2_assembly_cg_wallclock",
+        "value": round(total, 4),
+        "unit": "s",
+        "vs_baseline": round(rate / baseline_rate, 3),
+        "dofs": int(dofs),
+        "cells": int(mesh.num_cells),
+        "assembly_s": round(t_asm - t0, 4),
+        "solve_s": round(t1 - t_asm, 4),
+        "cg_iters": int(its),
+        "residual": float(res),
+        "dof_per_s": round(rate, 1),
+        "host_setup_s": round(host_setup, 2),
+        "backend": jax.default_backend(),
+        "n": n,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,7 @@ from ..quadrature import quadrature_rule
 from .tables import canonical_edges, simplex_cut_tables
 
 __all__ = ["RuntimeQuadratureRules", "volume_rules", "interface_rules",
-           "facet_volume_rules"]
+           "facet_volume_rules", "full_cell_rules"]
 
 
 class RuntimeQuadratureRules:
@@ -342,6 +342,34 @@ def _push_normal(cell_type, coords, pts, nref):
     n = jnp.einsum("cmqtg,cmt->cmqg", K, nref)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     return n / jnp.where(norm > 0, norm, 1.0)
+
+
+def full_cell_rules(mesh, cells, order):
+    """Runtime rules covering whole (uncut) cells — the oracle utility the
+    reference tests use to check runtime assembly against standard assembly
+    (/root/reference/python/tests/quadrature_utils.py:12-70)."""
+    cell = mesh.ref_cell
+    tdim = cell.tdim
+    split = cell.simplex_split
+    ref_verts = cell.vertices
+    rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[tdim], order)
+    cells = np.asarray(cells, dtype=np.int32)
+    C = len(cells)
+    coords = jnp.asarray(mesh.cell_vertex_coords[cells])
+    all_pts, all_w = [], []
+    for sub in split:
+        verts = jnp.broadcast_to(jnp.asarray(ref_verts[sub]),
+                                 (C, tdim + 1, tdim))
+        X = verts[:, None, :, :]
+        valid = jnp.ones((C, 1), bool)
+        pts, T = _map_rule(X, rule_pts)
+        w = _physical_weights(mesh.cell_type, coords, pts, T,
+                              jnp.asarray(rule_w), valid)
+        all_pts.append(pts.reshape(C, -1, tdim))
+        all_w.append(w.reshape(C, -1))
+    return RuntimeQuadratureRules(tdim, cells,
+                                  jnp.concatenate(all_pts, axis=1),
+                                  jnp.concatenate(all_w, axis=1), mesh=mesh)
 
 
 def facet_volume_rules(mesh, phi, facets, order, side="<"):
