@@ -72,28 +72,24 @@ def main():
                            + gamma / h * ue * v) * dxg
         return fem.form(a), fem.form(L)
 
-    # warm-up: compile all kernels once
-    af, Lf = build_forms()
-    dom = fem.active_domain(af)
-    op = fem.CutOperator(af, dom)
-    d = op.diagonal()
-    b = fem.assemble_vector(Lf)
-    bj = jnp.where(jnp.asarray(dom.active_mask), b, 0.0)
-    x, its, res = cg(op, bj, M=lambda r_: r_ / d, rtol=0.0, maxiter=5)
-    x.block_until_ready()
+    # warm-up pass: compiles every kernel + the fused CG program once
+    # (kernels are cached structurally, forms.compile._KERNEL_CACHE, so the
+    # timed pass below reuses them — the production moving-domain loop)
+    def pipeline():
+        af, Lf = build_forms()
+        dom = fem.active_domain(af)
+        op = fem.CutOperator(af, dom)
+        b = fem.assemble_vector(Lf)
+        t_mid = time.perf_counter()
+        x, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters)
+        x.block_until_ready()
+        return x, its, res, t_mid
 
-    # timed run: runtime quadrature + assembly + CG solve
+    pipeline()
+
+    # timed run: runtime quadrature + assembly + CG solve (steady state)
     t0 = time.perf_counter()
-    af, Lf = build_forms()
-    dom = fem.active_domain(af)
-    op = fem.CutOperator(af, dom)
-    d = op.diagonal()
-    b = fem.assemble_vector(Lf)
-    bj = jnp.where(jnp.asarray(dom.active_mask), b, 0.0)
-    t_asm = time.perf_counter()
-    x, its, res = cg(op, bj, M=lambda r_: r_ / d, rtol=1e-6,
-                     maxiter=iters)
-    x.block_until_ready()
+    x, its, res, t_asm = pipeline()
     t1 = time.perf_counter()
 
     dofs = V.dim

@@ -24,9 +24,10 @@ from .forms.measure import FormExpr, split_subdomain_data
 from .la import MatrixCSR
 
 __all__ = [
-    "CutForm", "form", "cut_form", "assemble_scalar", "assemble_vector",
-    "assemble_matrix", "ActiveDomain", "active_domain", "deactivate_outside",
-    "zero_rows", "create_matrix", "CutOperator",
+    "CutForm", "form", "cut_form", "extract_blocks", "assemble_scalar",
+    "assemble_vector", "assemble_matrix", "ActiveDomain", "active_domain",
+    "deactivate_outside", "deactivate_outside_blocks", "zero_rows",
+    "zero_block_rows", "create_matrix", "CutOperator", "cut_function",
 ]
 
 
@@ -44,17 +45,30 @@ class IntegralInstance:
 
 
 class CutForm:
-    """Compiled form: mesh + integral instances + argument spaces."""
+    """Compiled form: mesh + integral instances + argument spaces.
 
-    def __init__(self, form_expr: FormExpr, dtype=None):
+    ``block=(test_part, trial_part)`` restricts assembly to one block of a
+    mixed form (the role of ufl.extract_blocks +
+    /root/reference/python/cutfemx/fem.py block handling)."""
+
+    def __init__(self, form_expr: FormExpr, dtype=None, block=None):
         if not isinstance(form_expr, FormExpr):
             raise TypeError("form() expects expr * measure (a FormExpr)")
         self.integrals = form_expr.integrals
         self.arguments = {}
         for itg in self.integrals:
-            for num, arg in extract_arguments(itg.integrand).items():
-                self.arguments.setdefault(num, arg)
-        self.rank = len(self.arguments)
+            for key, arg in extract_arguments(itg.integrand).items():
+                self.arguments.setdefault(key, arg)
+        numbers = sorted({num for num, _ in self.arguments})
+        self.rank = len(numbers)
+        parts = {part for _, part in self.arguments}
+        self.is_mixed = any(p is not None for p in parts)
+        if block is None:
+            if self.is_mixed:
+                raise ValueError(
+                    "mixed-space forms must go through fem.extract_blocks")
+            block = (None, None)
+        self.block = tuple(block)
         self.mesh = self._find_mesh()
         self.dtype = jnp.dtype(dtype) if dtype is not None else \
             jnp.zeros(0).dtype
@@ -84,15 +98,24 @@ class CutForm:
 
     @property
     def test_space(self):
-        return self.arguments[0].space if 0 in self.arguments else None
+        a = self.arguments.get((0, self.block[0]))
+        return a.space if a is not None else None
 
     @property
     def trial_space(self):
-        return self.arguments[1].space if 1 in self.arguments else None
+        a = self.arguments.get((1, self.block[1]))
+        return a.space if a is not None else None
 
     # -- instance building --------------------------------------------------
 
     def _build_instances(self, itg):
+        if self.rank:
+            # drop integrals not contributing to this block
+            keys = set(extract_arguments(itg.integrand))
+            if (0, self.block[0]) not in keys:
+                return []
+            if self.rank == 2 and (1, self.block[1]) not in keys:
+                return []
         mesh = self.mesh
         itype = itg.integral_type
         ents, rules = split_subdomain_data(itg.measure.subdomain_data)
@@ -122,10 +145,10 @@ class CutForm:
             out.append(self._interior_facet_instance(itg, facets))
         return [o for o in out if o is not None]
 
-    def _coeff_arrays(self, kernel, cells):
+    def _coeff_arrays(self, coefficients, cells):
         """Gather coefficient dofs: tuple of (E, nd*bs) arrays."""
         out = []
-        for f in kernel.coefficients:
+        for f in coefficients:
             bd = f.function_space.blocked_dofmap
             if cells.ndim == 1:
                 out.append(jnp.asarray(f.x, self.dtype)[bd[cells]])
@@ -134,31 +157,34 @@ class CutForm:
                 out.append(g.reshape(g.shape[0], -1))
         return tuple(out)
 
-    def _qfield_arrays(self, kernel, rules):
+    def _qfield_arrays(self, qfields, rules):
         out = []
-        for qf in kernel.qfields:
+        for qf in qfields:
             v = qf.evaluator(rules)
             out.append(jnp.asarray(v, self.dtype))
         return tuple(out)
 
     def _cell_instance(self, itg, cells):
+        from .forms.dsl import extract_coefficients, extract_qfields
         cells = np.asarray(cells, dtype=np.int32)
         if cells.size == 0:
             return None
         mesh = self.mesh
         kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
                                   runtime=False)
-        if kernel.qfields:
+        if extract_qfields(itg.integrand):
             raise ValueError("QuadratureField terms require runtime rules")
         data = dict(
             coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
             h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
-            coeffs=self._coeff_arrays(kernel, cells),
+            coeffs=self._coeff_arrays(extract_coefficients(itg.integrand),
+                                      cells),
         )
         return IntegralInstance(kernel, "cell", False, cells, data=data,
                                 rows_cells=cells)
 
     def _runtime_cell_instance(self, itg, rules):
+        from .forms.dsl import extract_coefficients, extract_qfields
         mesh = self.mesh
         parents = np.asarray(rules.parent_map, dtype=np.int32)
         if parents.size == 0:
@@ -170,8 +196,10 @@ class CutForm:
             h=jnp.asarray(mesh.cell_diameters()[parents], self.dtype),
             points=jnp.asarray(rules.points_padded, self.dtype),
             weights=jnp.asarray(rules.weights_padded, self.dtype),
-            coeffs=self._coeff_arrays(kernel, parents),
-            qfields=self._qfield_arrays(kernel, rules),
+            coeffs=self._coeff_arrays(extract_coefficients(itg.integrand),
+                                      parents),
+            qfields=self._qfield_arrays(extract_qfields(itg.integrand),
+                                        rules),
         )
         return IntegralInstance(kernel, "cell", True, parents, rules=rules,
                                 data=data, rows_cells=parents)
@@ -183,13 +211,15 @@ class CutForm:
         mesh = self.mesh
         cells = mesh.facet_cells[facets, 0]
         local = mesh.facet_local_index[facets, 0]
+        from .forms.dsl import extract_coefficients
         kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
                                   runtime=False)
         data = dict(
             coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
             h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
             local_facet=jnp.asarray(local, jnp.int32),
-            coeffs=self._coeff_arrays(kernel, cells),
+            coeffs=self._coeff_arrays(extract_coefficients(itg.integrand),
+                                      cells),
         )
         return IntegralInstance(kernel, "exterior_facet", False, facets,
                                 data=data, rows_cells=cells)
@@ -201,6 +231,7 @@ class CutForm:
             return None
         cells = np.asarray(rules.parent_cells, dtype=np.int32)
         local = np.asarray(rules.local_facets, dtype=np.int32)
+        from .forms.dsl import extract_coefficients, extract_qfields
         kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
                                   runtime=True)
         data = dict(
@@ -209,8 +240,10 @@ class CutForm:
             points=jnp.asarray(rules.points_padded, self.dtype),
             weights=jnp.asarray(rules.weights_padded, self.dtype),
             local_facet=jnp.asarray(local, jnp.int32),
-            coeffs=self._coeff_arrays(kernel, cells),
-            qfields=self._qfield_arrays(kernel, rules),
+            coeffs=self._coeff_arrays(extract_coefficients(itg.integrand),
+                                      cells),
+            qfields=self._qfield_arrays(extract_qfields(itg.integrand),
+                                        rules),
         )
         return IntegralInstance(kernel, "exterior_facet", True, parents,
                                 rules=rules, data=data, rows_cells=cells)
@@ -224,13 +257,15 @@ class CutForm:
         if (cells[:, 1] < 0).any():
             raise ValueError("interior-facet integral over boundary facets")
         local = mesh.facet_local_index[facets]    # (E, 2)
+        from .forms.dsl import extract_coefficients
         kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
                                   runtime=False)
         data = dict(
             coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
             h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
             local_facet=jnp.asarray(local, jnp.int32),
-            coeffs=self._coeff_arrays(kernel, cells),
+            coeffs=self._coeff_arrays(extract_coefficients(itg.integrand),
+                                      cells),
         )
         return IntegralInstance(kernel, "interior_facet", False, facets,
                                 data=data, rows_cells=cells)
@@ -254,6 +289,30 @@ def form(form_expr, dtype=None):
 cut_form = form
 
 
+def extract_blocks(form_expr, dtype=None):
+    """Split a mixed-space form into per-block CutForms (the role of
+    ufl.extract_blocks, demo_interface_poisson.py:263-266). Returns a
+    nested tuple for rank-2 forms, a flat tuple for rank-1 forms; entries
+    are None when a block has no contribution."""
+    keys = {}
+    for itg in form_expr.integrals:
+        keys.update(extract_arguments(itg.integrand))
+    test_parts = sorted({p for (num, p) in keys if num == 0},
+                        key=lambda p: -1 if p is None else p)
+    trial_parts = sorted({p for (num, p) in keys if num == 1},
+                         key=lambda p: -1 if p is None else p)
+    rank = 2 if trial_parts else 1
+
+    def make(block):
+        f = CutForm(form_expr, dtype=dtype, block=block)
+        return f if f.instances else None
+
+    if rank == 1:
+        return tuple(make((tp, None)) for tp in test_parts)
+    return tuple(tuple(make((tp, up)) for up in trial_parts)
+                 for tp in test_parts)
+
+
 # -- assembly ---------------------------------------------------------------
 
 
@@ -272,7 +331,7 @@ def assemble_vector(f: CutForm):
     V = f.test_space
     b = jnp.zeros(V.dim, f.dtype)
     for inst in f.instances:
-        be = inst.kernel.assemble_vector(inst.data, f.dtype)  # (E, nd)
+        be = inst.kernel.assemble_vector(inst.data, f.dtype, f.block)
         rows = jnp.asarray(f._entity_dofs(V, inst))
         b = b.at[rows.ravel()].add(be.ravel())
     return b
@@ -286,7 +345,8 @@ def assemble_matrix(f: CutForm):
     V, U = f.test_space, f.trial_space
     rows_all, cols_all, vals_all = [], [], []
     for inst in f.instances:
-        Ae = np.asarray(inst.kernel.assemble_matrix(inst.data, f.dtype))
+        Ae = np.asarray(inst.kernel.assemble_matrix(inst.data, f.dtype,
+                                                    f.block))
         r = f._entity_dofs(V, inst)              # (E, nv)
         c = f._entity_dofs(U, inst)              # (E, nu)
         E, nv = r.shape
@@ -367,7 +427,127 @@ def zero_rows(A: MatrixCSR, rows, diag=1.0):
     return A
 
 
+def deactivate_outside_blocks(A_blocks, domains, b_blocks=None, diag=1.0):
+    """Block variant: zero inactive rows in the whole block row, unit
+    diagonal only in the diagonal block (deactivate.h:420-457)."""
+    for i, dom in enumerate(domains):
+        rows = dom.inactive_dofs
+        for j, A in enumerate(A_blocks[i]):
+            if A is None:
+                continue
+            A.zero_rows(rows, diag=diag if i == j else 0.0)
+        if b_blocks is not None and b_blocks[i] is not None:
+            b = b_blocks[i]
+            if isinstance(b, np.ndarray):
+                b[rows] = 0.0
+            else:
+                b_blocks[i] = b.at[jnp.asarray(rows)].set(0.0)
+    return A_blocks, b_blocks
+
+
+def zero_block_rows(A_blocks):
+    """Rows that are identically zero across a block row — the reference's
+    post-deactivation sanity check (fem.py:777-798). Returns one index
+    array per block row."""
+    out = []
+    for row in A_blocks:
+        mask = None
+        for A in row:
+            if A is None:
+                continue
+            m = A.to_scipy().tocsr()
+            nz = np.abs(m).sum(axis=1).A.ravel() if hasattr(
+                np.abs(m).sum(axis=1), "A") else \
+                np.asarray(np.abs(m).sum(axis=1)).ravel()
+            mask = nz if mask is None else mask + nz
+        out.append(np.flatnonzero(mask == 0.0).astype(np.int32)
+                   if mask is not None else np.zeros(0, np.int32))
+    return out
+
+
+def cut_function(u, cut_mesh):
+    """Interpolate a background Function onto a cut visualisation mesh
+    (the reference's cut_function, cpp/cutfemx/fem/interpolate.h:32-204).
+    Returns a P1 Function on cut_mesh.mesh with vertex values of u."""
+    from .cut.api import CutMesh
+    from .functionspace import Function, FunctionSpace
+    from .geometry import pullback_affine
+
+    if not isinstance(cut_mesh, CutMesh) or cut_mesh.mesh is None:
+        raise ValueError("cut_function requires a non-empty CutMesh")
+    V = u.function_space
+    bg = V.mesh
+    vis = cut_mesh.mesh
+    Vout = FunctionSpace(vis, ("Lagrange", 1), shape=V.value_shape)
+    out = Function(Vout, name=u.name, dtype=u.x.dtype)
+
+    # vis vertices live inside their parent background cell; pull back and
+    # evaluate u's basis there (vertices are duplicated per vis cell, so a
+    # plain per-cell evaluation covers every dof)
+    parents = cut_mesh.parent_index
+    vis_coords = jnp.asarray(vis.cell_vertex_coords)      # (E, m, gdim)
+    par_coords = jnp.asarray(bg.cell_vertex_coords[parents])
+    if not bg.ref_cell.is_simplex:
+        raise NotImplementedError(
+            "cut_function currently supports simplex background cells")
+    ref = jax.vmap(lambda c, x: pullback_affine(bg.cell_type, c, x))(
+        par_coords, vis_coords)                            # (E, m, tdim)
+    tab = V.element.tabulate(ref)                          # (E, m, nd)
+    dofs = jnp.asarray(u.x).reshape(-1, V.bs)[V.dofmap[parents]]
+    vals = jnp.einsum("emn,enb->emb", tab, dofs)           # (E, m, bs)
+    x = jnp.zeros((Vout.num_scalar_dofs, Vout.bs), u.x.dtype)
+    x = x.at[jnp.asarray(Vout.dofmap)].set(vals)
+    out.x = x.reshape(-1)
+    return out
+
+
 # -- matrix-free operator ---------------------------------------------------
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _matfree_apply(dim, mats, rows, cols, active, x):
+    """A@x with deactivated dofs passed through identically. Jitted at
+    module level so rebuilding an operator on fresh data reuses the
+    compiled program (shapes equal -> cache hit)."""
+    xin = jnp.where(active, x, 0.0) if active is not None else x
+    y = jnp.zeros(dim, x.dtype)
+    for Ae, r, c in zip(mats, rows, cols):
+        xe = xin[c]
+        ye = jnp.einsum("eij,ej->ei", Ae, xe)
+        y = y.at[r.ravel()].add(ye.ravel())
+    if active is not None:
+        y = jnp.where(active, y, x)
+    return y
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _matfree_diagonal(dim, mats, rows, cols, active, dtype_probe):
+    d = jnp.zeros(dim, dtype_probe.dtype)
+    for Ae, r, c in zip(mats, rows, cols):
+        eq = (r[:, :, None] == c[:, None, :])
+        contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
+        d = d.at[r.ravel()].add(contrib.ravel())
+    if active is not None:
+        d = jnp.where(active, d, 1.0)
+    return d
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _matfree_cg(dim, jacobi, mats, rows, cols, active, b, rtol, maxiter):
+    from .la import cg
+    bb = jnp.where(active, b, 0.0) if active is not None else b
+
+    def op(x):
+        return _matfree_apply(dim, mats, rows, cols, active, x)
+    if jacobi:
+        d = _matfree_diagonal(dim, mats, rows, cols, active, b)
+        M = lambda r: r / d  # noqa: E731
+    else:
+        M = None
+    return cg(op, bb, M=M, rtol=rtol, maxiter=maxiter)
 
 
 class CutOperator:
@@ -375,7 +555,8 @@ class CutOperator:
     + gather/einsum/scatter action, with inactive-dof masking folded in.
 
     This is the TPU hot path (BASELINE.json north star): the action is a
-    batched (E, nd, nd) x (E, nd) contraction plus one segment scatter-add.
+    batched (E, nd, nd) x (E, nd) contraction plus one segment scatter-add,
+    and ``solve_cg`` runs the whole preconditioned solve as one XLA program.
     """
 
     def __init__(self, f: CutForm, domain: ActiveDomain | None = None):
@@ -390,51 +571,30 @@ class CutOperator:
         self.row_dofs = []
         self.col_dofs = []
         for inst in f.instances:
-            Ae = inst.kernel.assemble_matrix(inst.data, f.dtype)
+            Ae = inst.kernel.assemble_matrix(inst.data, f.dtype, f.block)
             self.element_matrices.append(Ae)
             self.row_dofs.append(jnp.asarray(f._entity_dofs(V, inst)))
             self.col_dofs.append(jnp.asarray(f._entity_dofs(U, inst)))
-        if domain is not None:
-            self.active = jnp.asarray(domain.active_mask)
-        else:
-            self.active = None
-
-        mats = tuple(self.element_matrices)
-        rows = tuple(self.row_dofs)
-        cols = tuple(self.col_dofs)
-        active = self.active
-        dim = self.dim
-
-        @jax.jit
-        def apply(x):
-            if active is not None:
-                xin = jnp.where(active, x, 0.0)
-            else:
-                xin = x
-            y = jnp.zeros(dim, x.dtype)
-            for Ae, r, c in zip(mats, rows, cols):
-                xe = xin[c]
-                ye = jnp.einsum("eij,ej->ei", Ae, xe)
-                y = y.at[r.ravel()].add(ye.ravel())
-            if active is not None:
-                y = jnp.where(active, y, x)
-            return y
-
-        self._apply = apply
+        self.active = (jnp.asarray(domain.active_mask)
+                       if domain is not None else None)
+        self._mats = tuple(self.element_matrices)
+        self._rows = tuple(self.row_dofs)
+        self._cols = tuple(self.col_dofs)
 
     def __call__(self, x):
-        return self._apply(x)
+        return _matfree_apply(self.dim, self._mats, self._rows, self._cols,
+                              self.active, x)
 
     def diagonal(self):
-        """Assembled diagonal (for Jacobi preconditioning)."""
-        d = jnp.zeros(self.dim, self.form.dtype)
-        for Ae, r, c in zip(self.element_matrices, self.row_dofs,
-                            self.col_dofs):
-            nd = r.shape[1]
-            # only equal (row, col) dof pairs contribute to the diagonal
-            eq = (r[:, :, None] == c[:, None, :])
-            contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
-            d = d.at[r.ravel()].add(contrib.ravel())
-        if self.active is not None:
-            d = jnp.where(self.active, d, 1.0)
-        return d
+        probe = self._mats[0][..., 0, 0] if self._mats else \
+            jnp.zeros((), self.form.dtype)
+        return _matfree_diagonal(self.dim, self._mats, self._rows,
+                                 self._cols, self.active,
+                                 jnp.zeros((), self._mats[0].dtype))
+
+    def solve_cg(self, b, rtol=1e-8, maxiter=500, jacobi=True):
+        """Fully-jitted preconditioned CG solve; returns (x, iters,
+        residual_norm)."""
+        return _matfree_cg(self.dim, bool(jacobi), self._mats, self._rows,
+                           self._cols, self.active, jnp.asarray(b),
+                           rtol, maxiter)

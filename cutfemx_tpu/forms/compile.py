@@ -40,11 +40,56 @@ from ..quadrature import quadrature_rule
 from .dsl import (Argument, extract_arguments, extract_coefficients,
                   extract_qfields, estimate_degree)
 
-__all__ = ["compile_integral", "IntegralKernel", "EvalCtx"]
+__all__ = ["compile_integral", "IntegralKernel", "EvalCtx",
+           "expr_signature"]
 
 
 def _space_sig(space):
-    return (space.mesh.cell_type, space.family, space.degree)
+    return (space.mesh.cell_type, space.family, space.degree,
+            space.value_shape)
+
+
+def expr_signature(e, _memo=None):
+    """Structural signature of an expression for kernel caching — the role
+    of the reference's runintgen JIT cache (_runintgen_adapter.py:181-217):
+    rebuilding the same weak form on new data reuses the compiled kernel.
+
+    Coefficients and quadrature fields hash by occurrence order and space
+    signature (their values are runtime data); Python-number constants hash
+    by value (they are baked into the trace)."""
+    from .dsl import (Argument, CoefficientExpr, ConstantExpr,
+                      QuadratureField, SpatialCoordinate, FacetNormal,
+                      CellDiameter, Identity, Indexed, Restricted, Power)
+    if _memo is None:
+        _memo = {}
+
+    def sig(n):
+        t = type(n).__name__
+        if isinstance(n, Argument):
+            return (t, n.number, n.part, _space_sig(n.space))
+        if isinstance(n, CoefficientExpr):
+            key = id(n.function)
+            ordinal = _memo.setdefault(key, len(_memo))
+            return (t, ordinal, _space_sig(n.function.function_space))
+        if isinstance(n, ConstantExpr):
+            v = np.asarray(n.value)
+            return (t, v.shape, v.tobytes() if v.size < 64 else id(n.value))
+        if isinstance(n, QuadratureField):
+            key = ("qf", n.uid)
+            ordinal = _memo.setdefault(key, len(_memo))
+            return (t, n.name, n.shape, ordinal)
+        if isinstance(n, (SpatialCoordinate, FacetNormal, CellDiameter)):
+            return (t, n.mesh.gdim)
+        if isinstance(n, Identity):
+            return (t, n.d)
+        extra = ()
+        if isinstance(n, Indexed):
+            extra = (n.idx,)
+        if isinstance(n, Restricted):
+            extra = (n.side,)
+        return (t,) + extra + tuple(sig(c) for c in n.children())
+
+    return sig(e)
 
 
 class EvalCtx:
@@ -189,12 +234,18 @@ class EvalCtx:
         return out
 
     def arg_value(self, arg, side):
-        return self._field(arg.space, self.arg_vectors[arg.number], side,
-                           want_grad=False)
+        vec = self.arg_vectors.get(arg.key)
+        if vec is None:
+            # other block parts are held at zero during block extraction
+            return jnp.zeros((self.Q,) + arg.shape, self.dtype)
+        return self._field(arg.space, vec, side, want_grad=False)
 
     def arg_grad(self, arg, side):
-        return self._field(arg.space, self.arg_vectors[arg.number], side,
-                           want_grad=True)
+        vec = self.arg_vectors.get(arg.key)
+        if vec is None:
+            return jnp.zeros((self.Q,) + arg.shape + (self.gdim,),
+                             self.dtype)
+        return self._field(arg.space, vec, side, want_grad=True)
 
     def coeff_value(self, cexpr, side):
         f = cexpr.function
@@ -231,11 +282,12 @@ class IntegralKernel:
         self.gdim = gdim
         self.itype = integral.integral_type
         self.runtime = runtime
-        self.args = extract_arguments(expr)
+        self.args = extract_arguments(expr)   # {(number, part): Argument}
         self.coefficients = extract_coefficients(expr)
         self.qfields = extract_qfields(expr)
-        self.rank = len(self.args)
-        if self.rank and sorted(self.args) != list(range(self.rank)):
+        numbers = sorted({num for num, _ in self.args})
+        self.rank = len(numbers)
+        if numbers and numbers != list(range(self.rank)):
             raise ValueError("argument numbers must be 0..rank-1")
 
         cell = reference_cell(cell_type)
@@ -360,15 +412,24 @@ class IntegralKernel:
         w = self._weights(ctx, data, dtype)
         return jnp.sum(vals * w)
 
-    def _arg_size(self, number):
-        sp = self.args[number].space
+    def _arg_size(self, arg):
+        sp = arg.space
         n = sp.element.ndofs * sp.bs
         return 2 * n if self.itype == "interior_facet" else n
 
+    def has_block(self, block):
+        """Whether the (test_part, trial_part) pair appears in this
+        integral."""
+        tp, up = block
+        ok = (0, tp) in self.args
+        if self.rank == 2:
+            ok = ok and (1, up) in self.args
+        return ok
+
     # -- public batched entry points ----------------------------------------
 
-    def _get(self, kind, dtype):
-        key = (kind, jnp.dtype(dtype).name)
+    def _get(self, kind, dtype, block=(None, None)):
+        key = (kind, jnp.dtype(dtype).name, block)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -377,23 +438,28 @@ class IntegralKernel:
                 return self._entity_scalar(data, {}, dtype)
             fn = jax.jit(lambda data: jnp.sum(jax.vmap(one)(data)))
         elif kind == "vector":
-            nv = self._arg_size(0)
+            varg = self.args[(0, block[0])]
+            nv = self._arg_size(varg)
+            vkey = varg.key
 
             def one(data):
                 z = jnp.zeros((nv,), dtype)
                 return jax.grad(
-                    lambda v: self._entity_scalar(data, {0: v}, dtype))(z)
+                    lambda v: self._entity_scalar(data, {vkey: v}, dtype))(z)
             fn = jax.jit(jax.vmap(one))
         elif kind == "matrix":
-            nv = self._arg_size(0)
-            nu = self._arg_size(1)
+            varg = self.args[(0, block[0])]
+            uarg = self.args[(1, block[1])]
+            nv, nu = self._arg_size(varg), self._arg_size(uarg)
+            vkey, ukey = varg.key, uarg.key
 
             def one(data):
                 zu = jnp.zeros((nu,), dtype)
                 zv = jnp.zeros((nv,), dtype)
 
                 def f(u, v):
-                    return self._entity_scalar(data, {0: v, 1: u}, dtype)
+                    return self._entity_scalar(data, {vkey: v, ukey: u},
+                                               dtype)
                 return jax.jacfwd(jax.jacrev(f, argnums=1), argnums=0)(
                     zu, zv)  # (nv, nu)
             fn = jax.jit(jax.vmap(one))
@@ -405,14 +471,28 @@ class IntegralKernel:
     def assemble_scalar(self, data, dtype):
         return self._get("scalar", dtype)(data)
 
-    def assemble_vector(self, data, dtype):
+    def assemble_vector(self, data, dtype, block=(None, None)):
         """-> (E, nv) element vectors."""
-        return self._get("vector", dtype)(data)
+        return self._get("vector", dtype, block)(data)
 
-    def assemble_matrix(self, data, dtype):
+    def assemble_matrix(self, data, dtype, block=(None, None)):
         """-> (E, nv, nu) element matrices (rows: test, cols: trial)."""
-        return self._get("matrix", dtype)(data)
+        return self._get("matrix", dtype, block)(data)
+
+
+_KERNEL_CACHE: dict = {}
 
 
 def compile_integral(integral, cell_type, gdim, runtime, qdegree=None):
-    return IntegralKernel(integral, cell_type, gdim, runtime, qdegree)
+    """Build (or fetch) the kernel for an integral. Structurally identical
+    integrands share compiled kernels across form rebuilds — coefficient
+    and quadrature-field data are passed positionally, so the cached trace
+    is value-independent."""
+    key = (expr_signature(integral.integrand), cell_type, gdim,
+           integral.integral_type, runtime, qdegree,
+           integral.measure.metadata.get("quadrature_degree"))
+    kern = _KERNEL_CACHE.get(key)
+    if kern is None:
+        kern = IntegralKernel(integral, cell_type, gdim, runtime, qdegree)
+        _KERNEL_CACHE[key] = kern
+    return kern

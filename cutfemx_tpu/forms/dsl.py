@@ -21,7 +21,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
-    "Expr", "Argument", "TrialFunction", "TestFunction", "CoefficientExpr",
+    "Expr", "Argument", "TrialFunction", "TestFunction", "TrialFunctions",
+    "TestFunctions", "MixedFunctionSpace", "CoefficientExpr",
     "ConstantExpr", "SpatialCoordinate", "FacetNormal", "CellDiameter",
     "QuadratureField", "Identity", "grad", "div", "nabla_grad", "inner",
     "dot", "outer", "sym", "tr", "dev", "transpose", "jump", "avg", "sqrt",
@@ -120,12 +121,18 @@ def _scalar_only(*exprs):
 
 
 class Argument(Expr):
-    """Trial (number=1) or test (number=0) function."""
+    """Trial (number=1) or test (number=0) function. ``part`` indexes the
+    sub-space in a mixed (block) form; None for plain forms."""
 
-    def __init__(self, space, number):
+    def __init__(self, space, number, part=None):
         self.space = space
         self.number = number
+        self.part = part
         self.shape = space.value_shape
+
+    @property
+    def key(self):
+        return (self.number, self.part)
 
     def children(self):
         return ()
@@ -143,6 +150,26 @@ def TrialFunction(space):
 
 def TestFunction(space):
     return Argument(space, 0)
+
+
+class MixedFunctionSpace:
+    """Ordered collection of spaces for block forms
+    (the role of ufl.MixedFunctionSpace in
+    /root/reference/python/demo/demo_interface_poisson.py:190)."""
+
+    def __init__(self, *spaces):
+        self.spaces = tuple(spaces)
+
+    def __len__(self):
+        return len(self.spaces)
+
+
+def TrialFunctions(W: MixedFunctionSpace):
+    return tuple(Argument(sp, 1, part=i) for i, sp in enumerate(W.spaces))
+
+
+def TestFunctions(W: MixedFunctionSpace):
+    return tuple(Argument(sp, 0, part=i) for i, sp in enumerate(W.spaces))
 
 
 class CoefficientExpr(Expr):
@@ -819,14 +846,15 @@ def traverse(e):
 
 
 def extract_arguments(e):
+    """{(number, part): Argument} over the expression."""
     args = {}
     for n in traverse(e):
         if isinstance(n, Argument):
-            prev = args.get(n.number)
+            prev = args.get(n.key)
             if prev is not None and prev.space is not n.space:
                 raise ValueError(
-                    "multiple spaces for the same argument number")
-            args[n.number] = n
+                    "multiple spaces for the same argument number/part")
+            args[n.key] = n
     return args
 
 

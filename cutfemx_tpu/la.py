@@ -57,13 +57,16 @@ class MatrixCSR:
         """Zero the given rows and set ``diag`` on the diagonal (the role of
         /root/reference/cpp/cutfemx/fem/deactivate.h:265-320 zero_rows +
         set_diagonal)."""
-        import scipy.sparse as sps
         rows = np.asarray(rows, dtype=np.int64)
         if rows.size == 0:
             return
         m = self._m.tolil()
         m[rows, :] = 0.0
-        m[rows, rows] = diag
+        if diag != 0.0:
+            if m.shape[0] != m.shape[1]:
+                raise ValueError(
+                    "cannot set a diagonal on a non-square block")
+            m[rows, rows] = diag
         self._m = m.tocsr()
 
     def __matmul__(self, x):
