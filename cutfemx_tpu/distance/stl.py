@@ -1,0 +1,295 @@
+"""STL ingestion and cell-triangle candidate maps.
+
+Replaces /root/reference/cpp/cutfemx/distance/stl/: binary+ASCII STL
+reading (reader.h:18-160), TriSoup (surface.h:20-38), and the CSR
+cell->triangle map (cell_triangle_map.h) with an AABB broad phase and a
+separating-axis narrow phase (host-side NumPy float64 — preprocessing, not
+the hot path; the reference's exact orient3d predicates live in
+mp_predicates.h and are approximated here in double precision).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["TriSoup", "read_stl", "write_stl", "stl_bbox",
+           "distribute_stl", "build_cell_triangle_map", "CellTriangleMap",
+           "point_triangle_distance", "point_segment_distance"]
+
+
+@dataclass
+class TriSoup:
+    """Triangle soup (surface.h:20-38)."""
+    X: np.ndarray        # (nv, 3) vertices
+    tri: np.ndarray      # (nt, 3) vertex indices
+    N: np.ndarray        # (nt, 3) facet normals
+    tri_gid: np.ndarray  # (nt,) global triangle ids
+
+    @property
+    def num_triangles(self):
+        return self.tri.shape[0]
+
+    def triangle_coords(self):
+        return self.X[self.tri]       # (nt, 3, 3)
+
+    def bbox(self):
+        return self.X.min(axis=0), self.X.max(axis=0)
+
+
+def read_stl(path) -> TriSoup:
+    """Binary or ASCII STL reader (reader.h:18-160)."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+    if head == b"solid":
+        # could still be binary with 'solid' header; check facet keyword
+        with open(path, "rb") as f:
+            content = f.read()
+        if b"facet" in content[:1000]:
+            return _read_ascii(content.decode("ascii", errors="ignore"))
+    return _read_binary(path)
+
+
+def _read_binary(path):
+    with open(path, "rb") as f:
+        f.read(80)
+        (nt,) = struct.unpack("<I", f.read(4))
+        data = np.frombuffer(f.read(nt * 50), dtype=np.uint8)
+    if data.size != nt * 50:
+        raise ValueError("truncated binary STL")
+    rec = data.reshape(nt, 50)
+    floats = rec[:, :48].copy().view("<f4").reshape(nt, 12)
+    normals = floats[:, 0:3].astype(np.float64)
+    verts = floats[:, 3:12].reshape(nt, 3, 3).astype(np.float64)
+    return _weld(verts, normals)
+
+
+def _read_ascii(text):
+    verts = []
+    normals = []
+    cur_n = None
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "facet" and len(parts) >= 5:
+            cur_n = [float(parts[2]), float(parts[3]), float(parts[4])]
+        elif parts[0] == "vertex":
+            verts.append([float(parts[1]), float(parts[2]),
+                          float(parts[3])])
+            if len(verts) % 3 == 0:
+                normals.append(cur_n or [0.0, 0.0, 0.0])
+    verts = np.asarray(verts).reshape(-1, 3, 3)
+    normals = np.asarray(normals)
+    return _weld(verts, normals)
+
+
+def _weld(verts, normals):
+    """Quantized vertex welding (the role of orient_surface.h:66-...)."""
+    nt = verts.shape[0]
+    flat = verts.reshape(-1, 3)
+    scale = max(np.abs(flat).max(), 1.0)
+    key = np.round(flat / scale * 1e12).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    X = np.zeros((len(uniq), 3))
+    X[inv] = flat
+    tri = inv.reshape(nt, 3).astype(np.int32)
+    # recompute normals from geometry when missing/zero
+    e1 = X[tri[:, 1]] - X[tri[:, 0]]
+    e2 = X[tri[:, 2]] - X[tri[:, 0]]
+    geo_n = np.cross(e1, e2)
+    norm = np.linalg.norm(geo_n, axis=1, keepdims=True)
+    geo_n = geo_n / np.maximum(norm, 1e-300)
+    nn = np.linalg.norm(normals, axis=1, keepdims=True)
+    N = np.where(nn > 1e-12, normals / np.maximum(nn, 1e-300), geo_n)
+    # orient stored normals consistently with geometric winding
+    flip = np.einsum("ij,ij->i", N, geo_n) < 0
+    N = np.where(flip[:, None], -N, N)
+    return TriSoup(X, tri, N, np.arange(nt, dtype=np.int64))
+
+
+def write_stl(path, soup: TriSoup):
+    """Binary STL writer (the VTK-writer analog, surface.h:40)."""
+    nt = soup.num_triangles
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", nt))
+        tc = soup.triangle_coords().astype(np.float32)
+        for t in range(nt):
+            f.write(struct.pack("<3f", *soup.N[t].astype(np.float32)))
+            for v in range(3):
+                f.write(struct.pack("<3f", *tc[t, v]))
+            f.write(struct.pack("<H", 0))
+
+
+def stl_bbox(path):
+    soup = read_stl(path)
+    return soup.bbox()
+
+
+def distribute_stl(mesh, path_or_soup, padding=0.0):
+    """Route triangles to the (single-process) local soup. The reference
+    scatters triangles to every rank whose padded AABB overlaps
+    (stl/distribute.h:49-285); with one JAX process the full soup is local,
+    optionally cropped to the padded mesh bbox."""
+    soup = path_or_soup if isinstance(path_or_soup, TriSoup) else \
+        read_stl(path_or_soup)
+    lo = mesh.vertices.min(axis=0) - padding
+    hi = mesh.vertices.max(axis=0) + padding
+    tc = soup.triangle_coords()
+    tlo, thi = tc.min(axis=1), tc.max(axis=1)
+    keep = ((thi >= lo) & (tlo <= hi)).all(axis=1)
+    if keep.all():
+        return soup
+    return TriSoup(soup.X, soup.tri[keep], soup.N[keep],
+                   soup.tri_gid[keep])
+
+
+@dataclass
+class CellTriangleMap:
+    """CSR cell -> candidate triangles (cell_triangle_map.h)."""
+    offsets: np.ndarray   # (num_cells+1,)
+    triangles: np.ndarray  # (nnz,)
+
+    def cells_with_triangles(self):
+        counts = np.diff(self.offsets)
+        return np.flatnonzero(counts > 0).astype(np.int32)
+
+    def links(self, cell):
+        return self.triangles[self.offsets[cell]:self.offsets[cell + 1]]
+
+
+def build_cell_triangle_map(mesh, soup: TriSoup, padding=0.0,
+                            narrow=True) -> CellTriangleMap:
+    """AABB broad phase + separating-axis narrow phase."""
+    tc = soup.triangle_coords()
+    tlo = tc.min(axis=1) - padding
+    thi = tc.max(axis=1) + padding
+    cv = mesh.cell_vertex_coords
+    clo = cv.min(axis=1)
+    chi = cv.max(axis=1)
+
+    # broad phase via uniform binning on the first axis to avoid O(C*T)
+    pairs_c, pairs_t = _aabb_pairs(clo, chi, tlo, thi)
+    if narrow and len(pairs_c):
+        keep = _tri_cell_overlap(cv[pairs_c], tc[pairs_t])
+        pairs_c, pairs_t = pairs_c[keep], pairs_t[keep]
+    order = np.argsort(pairs_c, kind="stable")
+    pairs_c, pairs_t = pairs_c[order], pairs_t[order]
+    counts = np.bincount(pairs_c, minlength=mesh.num_cells)
+    offsets = np.zeros(mesh.num_cells + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return CellTriangleMap(offsets, pairs_t.astype(np.int64))
+
+
+def _aabb_pairs(clo, chi, tlo, thi, bins=64):
+    """Overlapping (cell, triangle) AABB pairs via 1D binning."""
+    lo = min(clo[:, 0].min(), tlo[:, 0].min())
+    hi = max(chi[:, 0].max(), thi[:, 0].max())
+    width = max(hi - lo, 1e-300)
+    c0 = np.clip(((clo[:, 0] - lo) / width * bins).astype(int), 0, bins - 1)
+    c1 = np.clip(((chi[:, 0] - lo) / width * bins).astype(int), 0, bins - 1)
+    t0 = np.clip(((tlo[:, 0] - lo) / width * bins).astype(int), 0, bins - 1)
+    t1 = np.clip(((thi[:, 0] - lo) / width * bins).astype(int), 0, bins - 1)
+    tri_in_bin = [np.flatnonzero((t0 <= b) & (t1 >= b)) for b in range(bins)]
+    out_c, out_t = [], []
+    for b in range(bins):
+        cells_b = np.flatnonzero((c0 <= b) & (c1 >= b))
+        tris_b = tri_in_bin[b]
+        if not len(cells_b) or not len(tris_b):
+            continue
+        # cross product within the bin, filtered by full AABB overlap
+        C, T = np.meshgrid(cells_b, tris_b, indexing="ij")
+        C, T = C.ravel(), T.ravel()
+        ok = ((clo[C] <= thi[T]) & (tlo[T] <= chi[C])).all(axis=1)
+        # avoid duplicates: keep the pair only in the first shared bin
+        first_bin = np.maximum(c0[C], t0[T])
+        ok &= first_bin == b
+        out_c.append(C[ok])
+        out_t.append(T[ok])
+    if not out_c:
+        return (np.zeros(0, np.int64),) * 2
+    return np.concatenate(out_c), np.concatenate(out_t)
+
+
+def _tri_cell_overlap(cells, tris):
+    """Separating-axis test between convex cells (their vertex sets) and
+    triangles. cells: (M, nv, 3); tris: (M, 3, 3)."""
+    axes = []
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    axes.append(np.cross(e1, e2))                # triangle normal
+    # box face normals
+    for k in range(3):
+        a = np.zeros((len(cells), 3))
+        a[:, k] = 1.0
+        axes.append(a)
+    # cross products of triangle edges with coordinate axes
+    e3 = tris[:, 2] - tris[:, 1]
+    for e in (e1, e2, e3):
+        for k in range(3):
+            unit = np.zeros(3)
+            unit[k] = 1.0
+            axes.append(np.cross(e, unit[None, :]))
+    sep = np.zeros(len(cells), bool)
+    for a in axes:
+        pc = np.einsum("mvg,mg->mv", cells, a)
+        pt = np.einsum("mvg,mg->mv", tris, a)
+        sep |= (pc.max(axis=1) < pt.min(axis=1) - 1e-14) | \
+               (pt.max(axis=1) < pc.min(axis=1) - 1e-14)
+    return ~sep
+
+
+# -- exact distances (point_triangle_distance.h) ----------------------------
+
+
+def point_segment_distance(p, a, b):
+    """Batched point-segment distance. p: (..., g); a, b: (..., g)."""
+    import jax.numpy as jnp
+    ab = b - a
+    t = jnp.einsum("...g,...g->...", p - a, ab) / jnp.maximum(
+        jnp.einsum("...g,...g->...", ab, ab), 1e-300)
+    t = jnp.clip(t, 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    return jnp.linalg.norm(p - closest, axis=-1), closest
+
+
+def point_triangle_distance(p, tri):
+    """Batched exact point-triangle distance.
+
+    p: (..., 3); tri: (..., 3, 3). Returns (distance, closest_point)."""
+    import jax.numpy as jnp
+    a, b, c = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    ab, ac, ap = b - a, c - a, p - a
+    d1 = jnp.einsum("...g,...g->...", ab, ap)
+    d2 = jnp.einsum("...g,...g->...", ac, ap)
+    bp = p - b
+    d3 = jnp.einsum("...g,...g->...", ab, bp)
+    d4 = jnp.einsum("...g,...g->...", ac, bp)
+    cp = p - c
+    d5 = jnp.einsum("...g,...g->...", ab, cp)
+    d6 = jnp.einsum("...g,...g->...", ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-300)
+    v = vb / denom
+    w = vc / denom
+    interior = a + v[..., None] * ab + w[..., None] * ac
+
+    _, pe_ab = point_segment_distance(p, a, b)
+    _, pe_ac = point_segment_distance(p, a, c)
+    _, pe_bc = point_segment_distance(p, b, c)
+
+    in_face = (va >= 0) & (vb >= 0) & (vc >= 0)
+    cands = jnp.stack([interior, pe_ab, pe_ac, pe_bc], axis=-2)
+    dists = jnp.linalg.norm(p[..., None, :] - cands, axis=-1)
+    dists = dists.at[..., 0].set(jnp.where(in_face, dists[..., 0],
+                                           jnp.inf))
+    best = jnp.argmin(dists, axis=-1)
+    closest = jnp.take_along_axis(cands, best[..., None, None],
+                                  axis=-2)[..., 0, :]
+    return jnp.min(dists, axis=-1), closest
