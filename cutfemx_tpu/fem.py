@@ -282,6 +282,83 @@ class CutForm:
         return g.reshape(g.shape[0], -1)
 
 
+class DirichletBC:
+    """Strong Dirichlet condition: dofs + prescribed values (the DOLFINx
+    DirichletBC role the reference's demos use, demo_stokes.py:218-...)."""
+
+    def __init__(self, value, dofs, V):
+        self.function_space = V
+        self.dofs = np.asarray(dofs, dtype=np.int64).ravel()
+        from .functionspace import Constant, Function
+        if isinstance(value, Function):
+            self.values = np.asarray(value.x)[self.dofs]
+        elif isinstance(value, Constant):
+            v = np.asarray(value.value)
+            self.values = np.broadcast_to(v.ravel()[
+                self.dofs % max(V.bs, 1)] if v.size == V.bs and V.bs > 1
+                else v, self.dofs.shape).astype(float)
+        else:
+            v = np.asarray(value, dtype=float)
+            if v.ndim == 0:
+                self.values = np.full(len(self.dofs), float(v))
+            elif v.shape == self.dofs.shape:
+                self.values = v
+            elif v.size == V.bs:
+                self.values = v.ravel()[self.dofs % V.bs]
+            else:
+                raise ValueError("cannot broadcast bc value")
+
+
+def dirichletbc(value, dofs, V):
+    return DirichletBC(value, dofs, V)
+
+
+def locate_dofs_geometrical(V, marker):
+    """Dofs whose coordinates satisfy marker(x) with x of shape (gdim, N)
+    (dolfinx.fem.locate_dofs_geometrical role)."""
+    coords = V.dof_coordinates
+    hits = np.flatnonzero(np.asarray(marker(coords.T)))
+    if V.bs == 1:
+        return hits.astype(np.int64)
+    return (hits[:, None] * V.bs + np.arange(V.bs)).ravel()
+
+
+def locate_dofs_topological(V, dim, entities):
+    """Dofs on the closure of the given facets/cells."""
+    from .cut.classify import entity_closure_dofs
+    scalar = np.unique(entity_closure_dofs(V, dim, entities).ravel())
+    if V.bs == 1:
+        return scalar.astype(np.int64)
+    return (scalar[:, None] * V.bs + np.arange(V.bs)).ravel()
+
+
+def set_bc(b, bcs, scale=1.0):
+    """b[bc dofs] = scale * g (dolfinx.fem.set_bc role)."""
+    if isinstance(b, np.ndarray):
+        for bc in bcs:
+            b[bc.dofs] = scale * bc.values
+        return b
+    for bc in bcs:
+        b = b.at[jnp.asarray(bc.dofs)].set(
+            scale * jnp.asarray(bc.values, b.dtype))
+    return b
+
+
+def apply_lifting(b, a_forms, bcs_lists, scale=1.0):
+    """b -= scale * A @ g for each form/bc pair (the reference's
+    apply_lifting, fem.py:604). Host CSR path."""
+    b = np.array(b)
+    for a, bcs in zip(a_forms, bcs_lists):
+        if not bcs:
+            continue
+        A = assemble_matrix(a)
+        g = np.zeros(a.trial_space.dim)
+        for bc in bcs:
+            g[bc.dofs] = bc.values
+        b -= scale * (A.to_scipy() @ g)
+    return b
+
+
 def form(form_expr, dtype=None):
     return CutForm(form_expr, dtype=dtype)
 
@@ -337,9 +414,11 @@ def assemble_vector(f: CutForm):
     return b
 
 
-def assemble_matrix(f: CutForm):
+def assemble_matrix(f: CutForm, bcs=None):
     """Assemble a rank-2 form into a host CSR matrix (oracle/direct path;
-    the performance path is CutOperator)."""
+    the performance path is CutOperator). With ``bcs``, rows and columns
+    of constrained dofs are zeroed with a unit diagonal (DOLFINx
+    convention; pair with apply_lifting + set_bc)."""
     if f.rank != 2:
         raise ValueError("assemble_matrix requires a rank-2 form")
     V, U = f.test_space, f.trial_space
@@ -355,10 +434,20 @@ def assemble_matrix(f: CutForm):
         cols_all.append(np.broadcast_to(c[:, None, :], (E, nv, nu)).ravel())
         vals_all.append(Ae.ravel())
     if not rows_all:
-        return MatrixCSR.from_coo([], [], [], (V.dim, U.dim))
-    return MatrixCSR.from_coo(np.concatenate(rows_all),
-                              np.concatenate(cols_all),
-                              np.concatenate(vals_all), (V.dim, U.dim))
+        A = MatrixCSR.from_coo([], [], [], (V.dim, U.dim))
+    else:
+        A = MatrixCSR.from_coo(np.concatenate(rows_all),
+                               np.concatenate(cols_all),
+                               np.concatenate(vals_all), (V.dim, U.dim))
+    if bcs:
+        bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs]))
+        m = A.to_scipy().tolil()
+        m[bc_dofs, :] = 0.0
+        m[:, bc_dofs] = 0.0
+        if V.dim == U.dim:
+            m[bc_dofs, bc_dofs] = 1.0
+        A._m = m.tocsr()
+    return A
 
 
 def create_matrix(f: CutForm, extension_terms=None):
@@ -524,6 +613,25 @@ def _matfree_apply(dim, mats, rows, cols, active, x):
 
 
 @partial(jax.jit, static_argnums=(0,))
+def _matfree_apply_sorted(dim, mats, cols, perm, sorted_rows, active, x):
+    """A@x via a presorted scatter plan: element contributions are
+    permuted into row-sorted order and reduced with a sorted segment-sum
+    (XLA scatters with unsorted indices serialize on TPU; sorted
+    segment_sum vectorizes)."""
+    xin = jnp.where(active, x, 0.0) if active is not None else x
+    parts = []
+    for Ae, c in zip(mats, cols):
+        xe = xin[c]
+        parts.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    y = jax.ops.segment_sum(flat[perm], sorted_rows, num_segments=dim,
+                            indices_are_sorted=True)
+    if active is not None:
+        y = jnp.where(active, y, x)
+    return y
+
+
+@partial(jax.jit, static_argnums=(0,))
 def _matfree_diagonal(dim, mats, rows, cols, active, dtype_probe):
     d = jnp.zeros(dim, dtype_probe.dtype)
     for Ae, r, c in zip(mats, rows, cols):
@@ -536,12 +644,14 @@ def _matfree_diagonal(dim, mats, rows, cols, active, dtype_probe):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _matfree_cg(dim, jacobi, mats, rows, cols, active, b, rtol, maxiter):
+def _matfree_cg(dim, jacobi, mats, rows, cols, perm, sorted_rows, active,
+                b, rtol, maxiter):
     from .la import cg
     bb = jnp.where(active, b, 0.0) if active is not None else b
 
     def op(x):
-        return _matfree_apply(dim, mats, rows, cols, active, x)
+        return _matfree_apply_sorted(dim, mats, cols, perm, sorted_rows,
+                                     active, x)
     if jacobi:
         d = _matfree_diagonal(dim, mats, rows, cols, active, b)
         M = lambda r: r / d  # noqa: E731
@@ -580,10 +690,17 @@ class CutOperator:
         self._mats = tuple(self.element_matrices)
         self._rows = tuple(self.row_dofs)
         self._cols = tuple(self.col_dofs)
+        # presorted scatter plan (host): row-sorted segment-sum
+        flat_rows = np.concatenate([np.asarray(r).ravel()
+                                    for r in self.row_dofs])
+        perm = np.argsort(flat_rows, kind="stable")
+        self._perm = jnp.asarray(perm.astype(np.int32))
+        self._sorted_rows = jnp.asarray(flat_rows[perm].astype(np.int32))
 
     def __call__(self, x):
-        return _matfree_apply(self.dim, self._mats, self._rows, self._cols,
-                              self.active, x)
+        return _matfree_apply_sorted(self.dim, self._mats, self._cols,
+                                     self._perm, self._sorted_rows,
+                                     self.active, x)
 
     def diagonal(self):
         probe = self._mats[0][..., 0, 0] if self._mats else \
@@ -596,5 +713,5 @@ class CutOperator:
         """Fully-jitted preconditioned CG solve; returns (x, iters,
         residual_norm)."""
         return _matfree_cg(self.dim, bool(jacobi), self._mats, self._rows,
-                           self._cols, self.active, jnp.asarray(b),
-                           rtol, maxiter)
+                           self._cols, self._perm, self._sorted_rows,
+                           self.active, jnp.asarray(b), rtol, maxiter)
