@@ -93,8 +93,8 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
         return interface_rules(mesh, phi, cut_entities, order)
     if cut_data.hosted_dim == mesh.tdim - 1:
         if op == "=":
-            raise NotImplementedError(
-                "codim-2 interface rules on facets are not supported")
+            from .quadrature import facet_interface_rules
+            return facet_interface_rules(mesh, phi, cut_entities, order)
         side = "<" if op in ("<", "<=") else ">"
         return facet_volume_rules(mesh, phi, cut_entities, order, side=side)
     raise NotImplementedError(f"entity dim {cut_data.hosted_dim}")

@@ -30,7 +30,8 @@ from ..quadrature import quadrature_rule
 from .tables import canonical_edges, simplex_cut_tables
 
 __all__ = ["RuntimeQuadratureRules", "volume_rules", "interface_rules",
-           "facet_volume_rules", "full_cell_rules"]
+           "facet_volume_rules", "facet_interface_rules",
+           "full_cell_rules"]
 
 
 class RuntimeQuadratureRules:
@@ -342,6 +343,60 @@ def _push_normal(cell_type, coords, pts, nref):
     n = jnp.einsum("cmqtg,cmt->cmqg", K, nref)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     return n / jnp.where(norm > 0, norm, 1.0)
+
+
+def facet_interface_rules(mesh, phi, facets, order):
+    """Codim-2 rules: {phi = 0} restricted to the given facets (the
+    skeleton rules of the surface-DG demo,
+    /root/reference/python/demo/demo_surface_poisson_dg.py:185-188).
+    In 3D each cut facet yields segments; in 2D a single crossing point.
+    Points in the first adjacent cell's reference coords; weights
+    physical."""
+    cell = mesh.ref_cell
+    tdim = cell.tdim
+    k = tdim - 1          # facet dimension; interface parts have dim k-1
+    facets = np.asarray(facets, dtype=np.int32)
+    C = len(facets)
+    cells = mesh.facet_cells[facets, 0]
+    locals_ = mesh.facet_local_index[facets, 0]
+
+    _, SURF = simplex_cut_tables(k)
+    if k - 1 >= 1:
+        rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[k - 1], order)
+    else:
+        rule_pts, rule_w = np.zeros((1, 0)), np.ones(1)
+
+    fverts_ref = cell.facet_vertices_coords()
+    fv = jnp.asarray(fverts_ref)[jnp.asarray(locals_)]
+
+    dofs = _cell_phi_dofs(phi, cells)
+    coords = jnp.asarray(mesh.cell_vertex_coords[cells])
+    if cell.facet_cell_type == "quadrilateral":
+        fsplit = reference_cell("quadrilateral").simplex_split
+    else:
+        fsplit = np.arange(k + 1, dtype=np.int32)[None, :]
+
+    el = phi.function_space.element
+    all_pts, all_w = [], []
+    for sub in fsplit:
+        verts = fv[:, np.asarray(sub), :]
+        tab = el.tabulate(verts)
+        phis = jnp.einsum("cpn,cn->cp", tab, dofs)
+        X, valid = _march_parts(phis, verts, k, SURF)
+        pts, T = _map_rule(X, rule_pts)
+        if T.shape[-1] == 0:
+            # 2D: point "rules" — physical weight 1 at the crossing
+            w = jnp.where(valid[:, :, None], 1.0, 0.0) * jnp.ones(
+                (C, X.shape[1], 1))
+        else:
+            w = _physical_weights(mesh.cell_type, coords, pts, T,
+                                  jnp.asarray(rule_w), valid)
+        all_pts.append(pts.reshape(C, -1, tdim))
+        all_w.append(w.reshape(C, -1))
+    points = jnp.concatenate(all_pts, axis=1)
+    weights = jnp.concatenate(all_w, axis=1)
+    return RuntimeQuadratureRules(tdim, facets, points, weights, mesh=mesh,
+                                  parent_cells=cells, local_facets=locals_)
 
 
 def full_cell_rules(mesh, cells, order):

@@ -139,10 +139,13 @@ class CutForm:
                 out.append(self._runtime_facet_instance(itg, rules))
         else:  # interior facet
             if rules is not None:
-                raise NotImplementedError(
-                    "runtime interior-facet rules not yet supported")
-            facets = mesh.interior_facets if ents is None else ents
-            out.append(self._interior_facet_instance(itg, facets))
+                if ents is not None and len(ents):
+                    out.append(self._interior_facet_instance(itg, ents))
+                out.append(self._runtime_interior_facet_instance(itg,
+                                                                 rules))
+            else:
+                facets = mesh.interior_facets if ents is None else ents
+                out.append(self._interior_facet_instance(itg, facets))
         return [o for o in out if o is not None]
 
     def _coeff_arrays(self, coefficients, cells):
@@ -157,12 +160,51 @@ class CutForm:
                 out.append(g.reshape(g.shape[0], -1))
         return tuple(out)
 
-    def _qfield_arrays(self, qfields, rules):
+    def _qfield_arrays(self, qfields, rules, two_sided=False):
         out = []
         for qf in qfields:
-            v = qf.evaluator(rules)
-            out.append(jnp.asarray(v, self.dtype))
+            if getattr(qf, "side_dependent", False):
+                if not two_sided:
+                    raise ValueError(
+                        f"{qf.name} is side-aware and requires a runtime "
+                        "dS measure")
+                vp = jnp.asarray(qf.evaluator(rules, "+"), self.dtype)
+                vm = jnp.asarray(qf.evaluator(rules, "-"), self.dtype)
+                out.append(jnp.stack([vp, vm], axis=1))  # (E, 2, Q, ...)
+            else:
+                v = qf.evaluator(rules)
+                out.append(jnp.asarray(v, self.dtype))
         return tuple(out)
+
+    def _runtime_interior_facet_instance(self, itg, rules):
+        """Runtime dS: per-facet cut rules (points in the '+' cell's
+        reference coords) on interior facets — the role of the reference's
+        _facet_payload_with_rows (_runintgen_adapter.py:605-680)."""
+        from .forms.dsl import extract_coefficients, extract_qfields
+        mesh = self.mesh
+        facets = np.asarray(rules.parent_map, dtype=np.int32)
+        if facets.size == 0:
+            return None
+        cells = mesh.facet_cells[facets]           # (E, 2)
+        if (cells[:, 1] < 0).any():
+            raise ValueError(
+                "runtime dS rules include boundary facets")
+        local = mesh.facet_local_index[facets]
+        kernel = compile_integral(itg, mesh.cell_type, mesh.gdim,
+                                  runtime=True)
+        data = dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[cells], self.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[cells], self.dtype),
+            points=jnp.asarray(rules.points_padded, self.dtype),
+            weights=jnp.asarray(rules.weights_padded, self.dtype),
+            local_facet=jnp.asarray(local, jnp.int32),
+            coeffs=self._coeff_arrays(extract_coefficients(itg.integrand),
+                                      cells),
+            qfields=self._qfield_arrays(extract_qfields(itg.integrand),
+                                        rules, two_sided=True),
+        )
+        return IntegralInstance(kernel, "interior_facet", True, facets,
+                                rules=rules, data=data, rows_cells=cells)
 
     def _cell_instance(self, itg, cells):
         from .forms.dsl import extract_coefficients, extract_qfields

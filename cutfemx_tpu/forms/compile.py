@@ -259,6 +259,11 @@ class EvalCtx:
 
     def qfield_value(self, qf, side):
         v = self.qfield_map[qf.uid]
+        if getattr(qf, "side_dependent", False):
+            if self.itype != "interior_facet":
+                raise ValueError(
+                    f"{qf.name} is side-aware and needs a dS measure")
+            v = v[0] if self._key(side) == "+" else v[1]
         return v
 
 
@@ -355,12 +360,15 @@ class IntegralKernel:
                               h=data.get("h", jnp.zeros((), dtype)),
                               local_facet=data["local_facet"])
         else:  # interior facet
-            fpts = jnp.asarray(self.facet_ref_points, dtype=dtype)
             lf = data["local_facet"]
             coords = data["coords"]  # (2, nv, g)
-            pts_p = map_facet_points(ct, lf[0], fpts,
-                                     self.fverts_table.astype(np.float64))
-            pts_p = pts_p.astype(dtype)
+            if self.runtime:
+                pts_p = data["points"]
+            else:
+                fpts = jnp.asarray(self.facet_ref_points, dtype=dtype)
+                pts_p = map_facet_points(
+                    ct, lf[0], fpts, self.fverts_table.astype(np.float64))
+                pts_p = pts_p.astype(dtype)
             # physical points from '+' side, pulled back into '-' side
             el1 = lagrange_element(ct, 1)
             phi = el1.tabulate(pts_p)

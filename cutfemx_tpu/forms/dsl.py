@@ -240,11 +240,13 @@ class QuadratureField(Expr):
 
     _counter = [0]
 
-    def __init__(self, name, shape, evaluator, mesh=None):
+    def __init__(self, name, shape, evaluator, mesh=None,
+                 side_dependent=False):
         self.name = name
         self.shape = tuple(shape)
-        self.evaluator = evaluator  # evaluator(rules, mesh?) -> np/jnp array
+        self.evaluator = evaluator  # evaluator(rules[, side]) -> array
         self.mesh = mesh
+        self.side_dependent = side_dependent
         QuadratureField._counter[0] += 1
         self.uid = QuadratureField._counter[0]
 
