@@ -59,10 +59,8 @@ def _read_binary(path):
         data = np.frombuffer(f.read(nt * 50), dtype=np.uint8)
     if data.size != nt * 50:
         raise ValueError("truncated binary STL")
-    rec = data.reshape(nt, 50)
-    floats = rec[:, :48].copy().view("<f4").reshape(nt, 12)
-    normals = floats[:, 0:3].astype(np.float64)
-    verts = floats[:, 3:12].reshape(nt, 3, 3).astype(np.float64)
+    from ..native import parse_stl_records
+    normals, verts = parse_stl_records(data)
     return _weld(verts, normals)
 
 
@@ -216,7 +214,12 @@ def _aabb_pairs(clo, chi, tlo, thi, bins=64):
 
 def _tri_cell_overlap(cells, tris):
     """Separating-axis test between convex cells (their vertex sets) and
-    triangles. cells: (M, nv, 3); tris: (M, 3, 3)."""
+    triangles. cells: (M, nv, 3); tris: (M, 3, 3). Uses the native C++
+    kernel when available (cutfemx_tpu.native), NumPy otherwise."""
+    from ..native import tri_cell_overlap as native_overlap
+    flags = native_overlap(cells, tris)
+    if flags is not None:
+        return flags
     axes = []
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
