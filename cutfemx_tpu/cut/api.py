@@ -59,6 +59,26 @@ def locate_entities(cut_data: CutData, ls_part: str):
     return cut_data.locate(ls_part)
 
 
+def _subdivision_levels(cut_data, phi):
+    """Map the reference's cut-approximation options
+    (cut.py:190-194: cut_approximation, cut_approximation_order,
+    max_refinement_iterations) onto marching-simplex red-refinement
+    levels: a degree-1 level set is cut exactly at level 0; higher-degree
+    level sets get refined marching simplices with the true basis
+    re-evaluated at sub-vertices."""
+    opts = cut_data.options or {}
+    approx = opts.get("cut_approximation", "auto")
+    if approx in ("linear",):
+        return 0
+    order = int(opts.get("cut_approximation_order", 1))
+    max_iter = int(opts.get("max_refinement_iterations", 8))
+    if phi.function_space.degree <= 1:
+        return 0
+    if approx == "auto" or order > 1:
+        return max(0, min(2, max_iter))
+    return 0
+
+
 def _single_clause(selector):
     terms = parse_selector(selector)
     if len(terms) != 1 or len(terms[0]) != 1:
@@ -84,13 +104,17 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
     mesh = cut_data.mesh
     cut_entities = cut_data.hosted_entities[
         cut_data.domains[idx] == DOMAIN_INTERSECTED]
+    levels = _subdivision_levels(cut_data, phi)
 
     if cut_data.hosted_dim == mesh.tdim:
         if op in ("<", "<="):
-            return volume_rules(mesh, phi, cut_entities, order, side="<")
+            return volume_rules(mesh, phi, cut_entities, order, side="<",
+                                levels=levels)
         if op in (">", ">="):
-            return volume_rules(mesh, phi, cut_entities, order, side=">")
-        return interface_rules(mesh, phi, cut_entities, order)
+            return volume_rules(mesh, phi, cut_entities, order, side=">",
+                                levels=levels)
+        return interface_rules(mesh, phi, cut_entities, order,
+                               levels=levels)
     if cut_data.hosted_dim == mesh.tdim - 1:
         if op == "=":
             from .quadrature import facet_interface_rules

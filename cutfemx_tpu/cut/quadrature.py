@@ -213,86 +213,93 @@ def _cell_phi_dofs(phi, cells):
     return jnp.asarray(phi.x)[V.dofmap[cells]]
 
 
-def volume_rules(mesh, phi, cut_cells, order, side="<"):
+def _cell_simplices(mesh, levels):
+    """Static (NS, d+1, tdim) reference-space simplices covering the cell:
+    the simplex split, red-refined ``levels`` times (higher-order cut
+    approximation)."""
+    from .tables import subdivided_simplices
+    cell = mesh.ref_cell
+    base = cell.vertices[cell.simplex_split]      # (nsub, d+1, tdim)
+    return subdivided_simplices(base, levels)
+
+
+def volume_rules(mesh, phi, cut_cells, order, side="<", levels=0):
     """Padded volume rules for {phi < 0} (side '<') or {phi > 0} (side '>')
     on the given cut cells. Points in parent reference coords; weights
-    physical."""
+    physical. ``levels`` red-refines the marching simplices with the true
+    level-set basis re-evaluated at every sub-vertex."""
     cell = mesh.ref_cell
     tdim = cell.tdim
-    split = cell.simplex_split                    # (nsub, d+1) local verts
-    ref_verts = cell.vertices                     # (nv, tdim)
     VOL, _ = simplex_cut_tables(tdim)
     rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[tdim], order)
-    nq = len(rule_w)
 
     cut_cells = np.asarray(cut_cells, dtype=np.int32)
     C = len(cut_cells)
     dofs = _cell_phi_dofs(phi, cut_cells)
-    phi_verts = _eval_phi_at(phi.function_space, dofs, ref_verts)  # (C, nv)
+    sims = _cell_simplices(mesh, levels)          # (NS, d+1, tdim)
+    NS = sims.shape[0]
+    phi_all = _eval_phi_at(phi.function_space, dofs,
+                           sims.reshape(-1, tdim)).reshape(C, NS, tdim + 1)
     if side == ">":
-        phi_verts = -phi_verts
+        phi_all = -phi_all
 
     coords = jnp.asarray(mesh.cell_vertex_coords[cut_cells])
-
-    all_pts, all_w = [], []
-    for sub in split:
-        verts = jnp.broadcast_to(
-            jnp.asarray(ref_verts[sub]), (C, tdim + 1, tdim))
-        X, valid = _march_parts(phi_verts[:, sub], verts, tdim, VOL)
-        pts, T = _map_rule(X, rule_pts)
-        w = _physical_weights(mesh.cell_type, coords, pts, T,
-                              jnp.asarray(rule_w), valid)
-        all_pts.append(pts.reshape(C, -1, tdim))
-        all_w.append(w.reshape(C, -1))
-    points = jnp.concatenate(all_pts, axis=1)
-    weights = jnp.concatenate(all_w, axis=1)
+    verts = jnp.broadcast_to(jnp.asarray(sims)[None],
+                             (C, NS, tdim + 1, tdim)).reshape(
+        C * NS, tdim + 1, tdim)
+    X, valid = _march_parts(phi_all.reshape(C * NS, tdim + 1), verts,
+                            tdim, VOL)
+    pts, T = _map_rule(X, rule_pts)               # (C*NS, M, nq, t)
+    coords_rep = jnp.repeat(coords, NS, axis=0)
+    w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
+                          jnp.asarray(rule_w), valid)
+    points = pts.reshape(C, -1, tdim)
+    weights = w.reshape(C, -1)
     return RuntimeQuadratureRules(tdim, cut_cells, points, weights,
                                   mesh=mesh)
 
 
-def interface_rules(mesh, phi, cut_cells, order):
+def interface_rules(mesh, phi, cut_cells, order, levels=0):
     """Padded interface ({phi = 0}) rules on cut cells, with geometric
     normals oriented by grad(phi) (outward from the {phi<0} phase, the role
     of /root/reference/cpp/cutfemx/geometry/surface_normal.h)."""
     cell = mesh.ref_cell
     tdim = cell.tdim
-    split = cell.simplex_split
-    ref_verts = cell.vertices
     _, SURF = simplex_cut_tables(tdim)
     rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[tdim - 1], order) \
         if tdim > 1 else (np.zeros((1, 0)), np.ones(1))
-    nq = len(rule_w)
 
     cut_cells = np.asarray(cut_cells, dtype=np.int32)
     C = len(cut_cells)
     dofs = _cell_phi_dofs(phi, cut_cells)
-    phi_verts = _eval_phi_at(phi.function_space, dofs, ref_verts)
+    sims = _cell_simplices(mesh, levels)
+    NS = sims.shape[0]
+    phi_all = _eval_phi_at(phi.function_space, dofs,
+                           sims.reshape(-1, tdim)).reshape(C, NS, tdim + 1)
     coords = jnp.asarray(mesh.cell_vertex_coords[cut_cells])
 
-    all_pts, all_w, all_n = [], [], []
-    for sub in split:
-        sverts = jnp.broadcast_to(
-            jnp.asarray(ref_verts[sub]), (C, tdim + 1, tdim))
-        sphis = phi_verts[:, sub]
-        X, valid = _march_parts(sphis, sverts, tdim, SURF)
-        pts, T = _map_rule(X, rule_pts)           # T: (C, M, tdim, tdim-1)
-        w = _physical_weights(mesh.cell_type, coords, pts, T,
-                              jnp.asarray(rule_w), valid)
+    sverts = jnp.broadcast_to(jnp.asarray(sims)[None],
+                              (C, NS, tdim + 1, tdim)).reshape(
+        C * NS, tdim + 1, tdim)
+    sphis = phi_all.reshape(C * NS, tdim + 1)
+    X, valid = _march_parts(sphis, sverts, tdim, SURF)
+    pts, T = _map_rule(X, rule_pts)               # T: (CNS, M, t, t-1)
+    coords_rep = jnp.repeat(coords, NS, axis=0)
+    w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
+                          jnp.asarray(rule_w), valid)
 
-        # geometric normal: reference-space normal of the planar part,
-        # pushed forward covariantly (J^-T), oriented along grad(phi)
-        gphi_ref = _linear_gradient(sverts, sphis)        # (C, tdim)
-        nref = _part_normals(T)                           # (C, M, tdim)
-        orient = jnp.sign(jnp.einsum("cmt,ct->cm", nref, gphi_ref))
-        orient = jnp.where(orient == 0, 1.0, orient)
-        nref = nref * orient[:, :, None]
-        nphys = _push_normal(mesh.cell_type, coords, pts, nref)
-        all_pts.append(pts.reshape(C, -1, tdim))
-        all_w.append(w.reshape(C, -1))
-        all_n.append(nphys.reshape(C, nphys.shape[1] * nphys.shape[2], -1))
-    points = jnp.concatenate(all_pts, axis=1)
-    weights = jnp.concatenate(all_w, axis=1)
-    normals = jnp.concatenate(all_n, axis=1)
+    # geometric normal: reference-space normal of the planar part,
+    # pushed forward covariantly (J^-T), oriented along grad(phi)
+    gphi_ref = _linear_gradient(sverts, sphis)            # (CNS, tdim)
+    nref = _part_normals(T)                               # (CNS, M, tdim)
+    orient = jnp.sign(jnp.einsum("cmt,ct->cm", nref, gphi_ref))
+    orient = jnp.where(orient == 0, 1.0, orient)
+    nref = nref * orient[:, :, None]
+    nphys = _push_normal(mesh.cell_type, coords_rep, pts, nref)
+
+    points = pts.reshape(C, -1, tdim)
+    weights = w.reshape(C, -1)
+    normals = nphys.reshape(C, -1, nphys.shape[-1])
     return RuntimeQuadratureRules(tdim, cut_cells, points, weights,
                                   mesh=mesh, normals_padded=normals)
 

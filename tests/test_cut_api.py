@@ -232,3 +232,27 @@ def test_create_cut_mesh_area():
     assert abs(areas.sum() - np.pi * 0.31 ** 2) < 2 * (2 / 24) ** 2
     assert cm.parent_index.shape[0] == cm.mesh.num_cells
     assert set(np.unique(cm.is_cut_cell)) <= {0, 1}
+
+
+def test_higher_order_cut_approximation():
+    """P2 level set + subdivided marching (the reference's
+    cut_approximation/max_refinement_iterations options) reduces the
+    geometric error by ~(1/2^levels)^2 (test vs linear cut)."""
+    r, n = 0.37, 24
+    mesh = cfx.mesh.create_rectangle((-1, -1), (1, 1), (n, n))
+    V = cfx.functionspace(mesh, ("Lagrange", 2))
+    phi = cfx.Function(V, name="phi")
+    phi.interpolate(lambda x: (x[0] ** 2 + x[1] ** 2) - r ** 2)
+
+    errs = {}
+    for approx in ("linear", "auto"):
+        cd = cfx.cut(phi, cut_approximation=approx)
+        inside = cfx.locate_entities(cd, "phi<0")
+        vol = cfx.runtime_quadrature(cd, "phi<0", 3)
+        coords = mesh.cell_vertex_coords[inside]
+        E1 = coords[:, 1] - coords[:, 0]
+        E2 = coords[:, 2] - coords[:, 0]
+        full = 0.5 * np.abs(E1[:, 0] * E2[:, 1] - E1[:, 1] * E2[:, 0]).sum()
+        area = full + float(np.asarray(vol.weights_padded).sum())
+        errs[approx] = abs(area - np.pi * r ** 2)
+    assert errs["auto"] < errs["linear"] / 8.0, errs
