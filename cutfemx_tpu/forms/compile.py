@@ -441,6 +441,7 @@ class IntegralKernel:
         if key in self._jitted:
             return self._jitted[key]
 
+        is_complex = jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
         if kind == "scalar":
             def one(data):
                 return self._entity_scalar(data, {}, dtype)
@@ -453,7 +454,8 @@ class IntegralKernel:
             def one(data):
                 z = jnp.zeros((nv,), dtype)
                 return jax.grad(
-                    lambda v: self._entity_scalar(data, {vkey: v}, dtype))(z)
+                    lambda v: self._entity_scalar(data, {vkey: v}, dtype),
+                    holomorphic=is_complex)(z)
             fn = jax.jit(jax.vmap(one))
         elif kind == "matrix":
             varg = self.args[(0, block[0])]
@@ -468,8 +470,9 @@ class IntegralKernel:
                 def f(u, v):
                     return self._entity_scalar(data, {vkey: v, ukey: u},
                                                dtype)
-                return jax.jacfwd(jax.jacrev(f, argnums=1), argnums=0)(
-                    zu, zv)  # (nv, nu)
+                return jax.jacfwd(
+                    jax.jacrev(f, argnums=1, holomorphic=is_complex),
+                    argnums=0, holomorphic=is_complex)(zu, zv)  # (nv, nu)
             fn = jax.jit(jax.vmap(one))
         else:  # pragma: no cover
             raise ValueError(kind)
