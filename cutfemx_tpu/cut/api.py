@@ -92,9 +92,14 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
                        backend: str = "straight") -> RuntimeQuadratureRules:
     """Runtime quadrature for the selected part on intersected entities
     (cut.cpp:1311-1335). Inclusive selectors produce the same rules as the
-    strict ones (test_cut_api.py:702-711)."""
+    strict ones (test_cut_api.py:702-711). Compound AND selectors over
+    several level sets produce boolean-region rules by recursive
+    marching."""
     if backend not in ("straight", "algoim", "algoim_general"):
         raise ValueError(f"unknown backend '{backend}'")
+    terms = parse_selector(ls_part)
+    if len(terms) == 1 and len(terms[0]) > 1:
+        return _compound_runtime_quadrature(cut_data, terms[0], order)
     name, op = _single_clause(ls_part)
     try:
         idx = cut_data.level_set_names.index(name)
@@ -122,6 +127,37 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
         side = "<" if op in ("<", "<=") else ">"
         return facet_volume_rules(mesh, phi, cut_entities, order, side=side)
     raise NotImplementedError(f"entity dim {cut_data.hosted_dim}")
+
+
+def _compound_runtime_quadrature(cut_data, clauses, order):
+    """AND-intersection region rules: cells matching every clause
+    inclusively with at least one clause intersected; each cell cut
+    recursively by all participating level sets."""
+    from .quadrature import compound_volume_rules
+    from .selector import DOMAIN_INSIDE, DOMAIN_OUTSIDE
+    mesh = cut_data.mesh
+    if cut_data.hosted_dim != mesh.tdim:
+        raise NotImplementedError(
+            "compound runtime quadrature requires cell-hosted CutData")
+    phis, sides = [], []
+    incl = np.ones(len(cut_data.hosted_entities), bool)
+    any_cut = np.zeros(len(cut_data.hosted_entities), bool)
+    for name, op in clauses:
+        if op == "=":
+            raise NotImplementedError(
+                "compound selectors with '=' clauses are not supported "
+                "for runtime quadrature")
+        idx = cut_data.level_set_names.index(name)
+        d = cut_data.domains[idx]
+        want = DOMAIN_INSIDE if op in ("<", "<=") else DOMAIN_OUTSIDE
+        incl &= (d == want) | (d == DOMAIN_INTERSECTED)
+        any_cut |= d == DOMAIN_INTERSECTED
+        phis.append(cut_data.level_sets[idx])
+        sides.append("<" if op in ("<", "<=") else ">")
+    cells = cut_data.hosted_entities[incl & any_cut]
+    levels = max(_subdivision_levels(cut_data, p) for p in phis)
+    return compound_volume_rules(mesh, list(zip(phis, sides)), cells,
+                                 order, levels=levels)
 
 
 def runtime_quadratures(cut_data: CutData, ls_parts, order: int, *,

@@ -434,6 +434,59 @@ def full_cell_rules(mesh, cells, order):
                                   jnp.concatenate(all_w, axis=1), mesh=mesh)
 
 
+def compound_volume_rules(mesh, clauses, cells, order, levels=0):
+    """Volume rules for an intersection region {AND_i phi_i OP_i 0} by
+    recursive marching: the cell is cut by the first level set, each
+    resulting sub-simplex is re-cut by the next one (the boolean-region
+    quadrature role of CutCells' select_part for compound selectors).
+
+    clauses: [(phi_function, side)] with side '<' or '>'. Points in
+    parent reference coords, physical weights."""
+    cell = mesh.ref_cell
+    tdim = cell.tdim
+    VOL, _ = simplex_cut_tables(tdim)
+    rule_pts, rule_w = quadrature_rule(_SIMPLEX_NAME[tdim], order)
+
+    cells = np.asarray(cells, dtype=np.int32)
+    C = len(cells)
+    coords = jnp.asarray(mesh.cell_vertex_coords[cells])
+    sims = _cell_simplices(mesh, levels)
+    NS = sims.shape[0]
+
+    # current batch of candidate sub-simplices per cell: (C, B, d+1, tdim)
+    batch = jnp.broadcast_to(jnp.asarray(sims)[None],
+                             (C, NS, tdim + 1, tdim))
+    batch_valid = jnp.ones((C, NS), bool)
+
+    for phi, side in clauses:
+        B = batch.shape[1]
+        dofs = _cell_phi_dofs(phi, cells)                 # (C, nd)
+        pts = batch.reshape(C, B * (tdim + 1), tdim)
+        tab = phi.function_space.element.tabulate(pts)    # (C, B(d+1), nd)
+        phis = jnp.einsum("cpn,cn->cp", tab, dofs).reshape(
+            C, B, tdim + 1)
+        if side == ">":
+            phis = -phis
+        flat_phis = phis.reshape(C * B, tdim + 1)
+        flat_verts = batch.reshape(C * B, tdim + 1, tdim)
+        X, valid = _march_parts(flat_phis, flat_verts, tdim, VOL)
+        M = X.shape[1]
+        valid = valid & batch_valid.reshape(C * B)[:, None]
+        batch = X.reshape(C, B * M, tdim + 1, tdim)
+        batch_valid = valid.reshape(C, B * M)
+
+    B = batch.shape[1]
+    X = batch.reshape(C * B, 1, tdim + 1, tdim)
+    pts, T = _map_rule(X, rule_pts)
+    coords_rep = jnp.repeat(coords, B, axis=0)
+    w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
+                          jnp.asarray(rule_w),
+                          batch_valid.reshape(C * B, 1))
+    points = pts.reshape(C, -1, tdim)
+    weights = w.reshape(C, -1)
+    return RuntimeQuadratureRules(tdim, cells, points, weights, mesh=mesh)
+
+
 def facet_volume_rules(mesh, phi, facets, order, side="<"):
     """Cut rules for {phi<0} parts of the given facets (facet-hosted cuts,
     the reference's entity-subset cuts, cut.cpp:540-591,1022-1063). Points

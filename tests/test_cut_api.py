@@ -256,3 +256,29 @@ def test_higher_order_cut_approximation():
         area = full + float(np.asarray(vol.weights_padded).sum())
         errs[approx] = abs(area - np.pi * r ** 2)
     assert errs["auto"] < errs["linear"] / 8.0, errs
+
+
+def test_compound_selector_runtime_quadrature():
+    """Boolean-region (AND) runtime quadrature: half-disk and
+    quarter-disk areas via recursive marching."""
+    r, n = 0.48, 40
+    mesh = cfx.mesh.create_rectangle((-1, -1), (1, 1), (n, n))
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    circ = cfx.Function(V, name="circ")
+    circ.interpolate(lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2) - r)
+    half = cfx.Function(V, name="half")
+    half.interpolate(lambda x: x[0] + 0.013)  # off-grid plane
+    cd = cfx.cut([circ, half])
+
+    rules = cfx.runtime_quadrature(cd, "circ<0 and half<0", 3)
+    inside = cfx.locate_entities(cd, "circ<0 and half<0")
+    coords = mesh.cell_vertex_coords[inside]
+    E1 = coords[:, 1] - coords[:, 0]
+    E2 = coords[:, 2] - coords[:, 0]
+    full = 0.5 * np.abs(E1[:, 0] * E2[:, 1] - E1[:, 1] * E2[:, 0]).sum()
+    area = full + float(np.asarray(rules.weights_padded).sum())
+    # exact area of the disk part left of x = -0.013
+    d = 0.013
+    exact = r * r * np.arccos(d / r) - d * np.sqrt(r * r - d * d)
+    h = 2.0 / n
+    assert abs(area - exact) < 3 * h ** 2, (area, exact)
