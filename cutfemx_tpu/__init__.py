@@ -12,6 +12,11 @@ from . import mesh  # noqa: F401
 from .functionspace import Constant, Function, FunctionSpace, functionspace  # noqa: F401
 from .forms.measure import Measure, dS, ds, dx  # noqa: F401
 from .forms import dsl as ufl  # noqa: F401  (UFL-like namespace)
+from .forms.dsl import QuadratureField  # noqa: F401
+
+# the reference exports its quadrature-point field type as
+# QuadratureFunction (_runintgen_adapter.py:131-178)
+QuadratureFunction = QuadratureField
 
 import sys as _sys
 
@@ -38,7 +43,8 @@ __version__ = "0.1.0"
 
 import importlib as _importlib
 
-_LAZY_MODULES = ("fem", "level_set", "distance", "extensions", "parallel")
+_LAZY_MODULES = ("fem", "level_set", "distance", "extensions", "parallel",
+                 "petsc", "refine")
 _CUT_API = ("cut", "locate_entities", "create_cut_mesh",
             "runtime_quadrature", "runtime_quadratures", "update",
             "ghost_penalty_facets", "interior_facets_for_cells", "CutData")
@@ -48,6 +54,9 @@ _LEVELSET_API = ("normal", "level_set_value", "surface_normal", "conormal",
 
 def __getattr__(name):
     # Lazy imports to keep `import cutfemx_tpu` light and avoid cycles.
+    if name == "cut_function":
+        mod = _importlib.import_module(".fem", __name__)
+        return mod.cut_function
     if name in _LAZY_MODULES:
         mod = _importlib.import_module(f".{name}", __name__)
         globals()[name] = mod

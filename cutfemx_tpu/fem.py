@@ -27,7 +27,10 @@ __all__ = [
     "CutForm", "form", "cut_form", "extract_blocks", "assemble_scalar",
     "assemble_vector", "assemble_matrix", "ActiveDomain", "active_domain",
     "deactivate_outside", "deactivate_outside_blocks", "zero_rows",
-    "zero_block_rows", "create_matrix", "CutOperator", "cut_function",
+    "zero_block_rows", "create_matrix", "create_sparsity_pattern",
+    "insert_diagonal", "CutOperator", "cut_function", "DirichletBC",
+    "dirichletbc", "locate_dofs_geometrical", "locate_dofs_topological",
+    "apply_lifting", "set_bc",
 ]
 
 
@@ -489,6 +492,64 @@ def assemble_matrix(f: CutForm, bcs=None):
         if V.dim == U.dim:
             m[bc_dofs, bc_dofs] = 1.0
         A._m = m.tocsr()
+    return A
+
+
+def create_sparsity_pattern(f: CutForm, extension_terms=None):
+    """Sparsity of a rank-2 form as a scipy CSR structure matrix with the
+    deactivation diagonal included (the reference's
+    create_sparsity_pattern + insert_deactivation_diagonal,
+    assembler.h:568-592). ``extension_terms`` adds bad/root dof pair
+    blocks (fem.py:801-848)."""
+    if f.rank != 2:
+        raise ValueError("create_sparsity_pattern requires a rank-2 form")
+    import scipy.sparse as sps
+    V, U = f.test_space, f.trial_space
+    rows, cols = [], []
+    for inst in f.instances:
+        r = f._entity_dofs(V, inst)
+        c = f._entity_dofs(U, inst)
+        E, nv = r.shape
+        nu = c.shape[1]
+        rows.append(np.broadcast_to(r[:, :, None], (E, nv, nu)).ravel())
+        cols.append(np.broadcast_to(c[:, None, :], (E, nv, nu)).ravel())
+    if V.dim == U.dim:
+        diag = np.arange(V.dim)
+        rows.append(diag)
+        cols.append(diag)
+    if extension_terms:
+        from .extensions import extension_quadrature, _penalty_dofs
+        terms = extension_terms if isinstance(extension_terms,
+                                              (list, tuple)) \
+            else [extension_terms]
+        for term in terms:
+            eq = extension_quadrature(term.V, term.cut_data,
+                                      term.aggregation,
+                                      term.quadrature_degree)
+            dofs = _penalty_dofs(term.V, eq)
+            nb, nd2 = dofs.shape
+            rows.append(np.broadcast_to(dofs[:, :, None],
+                                        (nb, nd2, nd2)).ravel())
+            cols.append(np.broadcast_to(dofs[:, None, :],
+                                        (nb, nd2, nd2)).ravel())
+    data = np.ones(sum(len(r) for r in rows), np.int8)
+    m = sps.coo_matrix((data, (np.concatenate(rows),
+                               np.concatenate(cols))),
+                       shape=(V.dim, U.dim)).tocsr()
+    m.data[:] = 1
+    return m
+
+
+def insert_diagonal(A: MatrixCSR, rows, value=1.0):
+    """Set ``value`` on the diagonal of the given rows (the reference's
+    insert_diagonal for bc rows, fem.py:935-941)."""
+    import scipy.sparse as sps
+    rows = np.asarray(rows, dtype=np.int64)
+    if rows.size == 0:
+        return A
+    m = A.to_scipy().tolil()
+    m[rows, rows] = value
+    A._m = m.tocsr()
     return A
 
 
