@@ -411,6 +411,55 @@ def form(form_expr, dtype=None):
 cut_form = form
 
 
+def derivative(residual_expr, u, du=None):
+    """Gateaux derivative of a residual form F(u; v) with respect to the
+    Function ``u`` in direction TrialFunction ``du``: substitutes
+    u -> u + du so the AD kernel's argument-Jacobian (evaluated at zero
+    trial coefficients) is the exact Newton Jacobian at u's current
+    state. The capability the reference cannot offer — its FFCx kernels
+    are compiled for fixed multilinear forms."""
+    from .forms.dsl import (Argument, CoefficientExpr, Sum, TrialFunction,
+                            replace)
+    from .forms.measure import FormExpr, Integral
+    if du is None:
+        du = TrialFunction(u.function_space)
+    cexpr = CoefficientExpr(u)
+    out = []
+    for itg in residual_expr.integrals:
+        new = replace(itg.integrand, {cexpr: Sum(CoefficientExpr(u), du)})
+        out.append(Integral(new, itg.measure))
+    return FormExpr(out)
+
+
+def newton_solve(residual_expr, u, bcs=None, tol=1e-10, max_iter=20,
+                 report=False):
+    """Newton's method on a nonlinear residual form F(u; v) = 0 using the
+    AD-exact Jacobian. Updates ``u`` in place; returns (u, iterations,
+    |F| history)."""
+    from .la import direct_solve
+    V = u.function_space
+    du = None
+    hist = []
+    for it in range(max_iter):
+        F = form(residual_expr)
+        b = np.array(assemble_vector(F))
+        J_expr = derivative(residual_expr, u)
+        J = form(J_expr)
+        A = assemble_matrix(J, bcs=bcs)
+        if bcs:
+            for bc in bcs:
+                b[bc.dofs] = 0.0
+        norm = np.linalg.norm(b)
+        hist.append(norm)
+        if report:
+            print(f"newton it {it}: |F| = {norm:.3e}")
+        if norm < tol:
+            break
+        delta = direct_solve(A, b)
+        u.x = u.x - jnp.asarray(delta, u.x.dtype)
+    return u, len(hist), hist
+
+
 def extract_blocks(form_expr, dtype=None):
     """Split a mixed-space form into per-block CutForms (the role of
     ufl.extract_blocks, demo_interface_poisson.py:263-266). Returns a

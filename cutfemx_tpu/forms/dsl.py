@@ -834,6 +834,67 @@ def avg(v):
                    Sum(Restricted(v, "+"), Restricted(v, "-")))
 
 
+def replace(e, mapping):
+    """Reconstruct an expression with nodes substituted (by identity).
+
+    mapping: {node: replacement}. Used for linearization: replacing a
+    CoefficientExpr by (coefficient + TrialFunction) turns a nonlinear
+    residual into a form whose argument-Jacobian at zero is the Newton
+    Jacobian at the coefficient's current state."""
+    def go(n):
+        for k, v in mapping.items():
+            if n is k or (isinstance(n, CoefficientExpr)
+                          and isinstance(k, CoefficientExpr)
+                          and n.function is k.function):
+                return v
+        if isinstance(n, (Argument, CoefficientExpr, ConstantExpr,
+                          SpatialCoordinate, FacetNormal, CellDiameter,
+                          QuadratureField, Identity)):
+            return n
+        ch = [go(c) for c in n.children()]
+        if isinstance(n, Sum):
+            return Sum(*ch)
+        if isinstance(n, Neg):
+            return Neg(*ch)
+        if isinstance(n, Product):
+            return Product(*ch)
+        if isinstance(n, Division):
+            return Division(*ch)
+        if isinstance(n, Power):
+            return Power(*ch)
+        if isinstance(n, _UnaryFn):
+            return type(n)(*ch)
+        if isinstance(n, Inner):
+            return Inner(*ch)
+        if isinstance(n, Dot):
+            return Dot(*ch)
+        if isinstance(n, Outer):
+            return Outer(*ch)
+        if isinstance(n, Grad):
+            return Grad(*ch)
+        if isinstance(n, Div):
+            return Div(*ch)
+        if isinstance(n, Transpose):
+            return Transpose(*ch)
+        if isinstance(n, Sym):
+            return Sym(*ch)
+        if isinstance(n, Tr):
+            return Tr(*ch)
+        if isinstance(n, Indexed):
+            return Indexed(ch[0], n.idx)
+        if isinstance(n, AsVector):
+            return AsVector(ch)
+        if isinstance(n, Restricted):
+            return Restricted(ch[0], n.side)
+        if isinstance(n, Conditional):
+            return Conditional(*ch)
+        if isinstance(n, _Compare):
+            return type(n)(*ch)
+        raise NotImplementedError(
+            f"replace: unsupported node {type(n).__name__}")
+    return go(e)
+
+
 # -- expression introspection ------------------------------------------------
 
 
