@@ -796,17 +796,21 @@ def _matfree_diagonal(dim, mats, rows, cols, active, dtype_probe):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _matfree_cg(dim, jacobi, mats, rows, cols, perm, sorted_rows, active,
+def _matfree_cg(dim, precond, mats, rows, cols, perm, sorted_rows, active,
                 b, rtol, maxiter):
-    from .la import cg
+    from .la import cg, chebyshev_preconditioner, power_iteration_lmax
     bb = jnp.where(active, b, 0.0) if active is not None else b
 
     def op(x):
         return _matfree_apply_sorted(dim, mats, cols, perm, sorted_rows,
                                      active, x)
-    if jacobi:
+    if precond == "jacobi":
         d = _matfree_diagonal(dim, mats, rows, cols, active, b)
         M = lambda r: r / d  # noqa: E731
+    elif precond == "chebyshev":
+        d = _matfree_diagonal(dim, mats, rows, cols, active, b)
+        lmax = power_iteration_lmax(op, d, dim)
+        M = chebyshev_preconditioner(op, d, lmax, degree=4)
     else:
         M = None
     return cg(op, bb, M=M, rtol=rtol, maxiter=maxiter)
@@ -861,9 +865,13 @@ class CutOperator:
                                  self._cols, self.active,
                                  jnp.zeros((), self._mats[0].dtype))
 
-    def solve_cg(self, b, rtol=1e-8, maxiter=500, jacobi=True):
+    def solve_cg(self, b, rtol=1e-8, maxiter=500, jacobi=True,
+                 precond=None):
         """Fully-jitted preconditioned CG solve; returns (x, iters,
-        residual_norm)."""
-        return _matfree_cg(self.dim, bool(jacobi), self._mats, self._rows,
+        residual_norm). precond: 'jacobi' (default), 'chebyshev'
+        (polynomial of the Jacobi-scaled operator), or 'none'."""
+        if precond is None:
+            precond = "jacobi" if jacobi else "none"
+        return _matfree_cg(self.dim, str(precond), self._mats, self._rows,
                            self._cols, self._perm, self._sorted_rows,
                            self.active, jnp.asarray(b), rtol, maxiter)

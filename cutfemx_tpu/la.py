@@ -114,6 +114,56 @@ def cg(operator, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=1000):
     return x, it, jnp.linalg.norm(r)
 
 
+def power_iteration_lmax(operator, d, n, iters=15, key_dim_probe=None):
+    """Estimate the largest eigenvalue of D^{-1/2} A D^{-1/2} by power
+    iteration (jittable; used to target the Chebyshev interval)."""
+    x = jnp.sin(jnp.arange(n, dtype=d.dtype) + 1.0)  # deterministic seed
+    dinv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))
+
+    def body(_, x):
+        y = dinv_sqrt * operator(dinv_sqrt * x)
+        return y / jnp.linalg.norm(y)
+
+    x = jax.lax.fori_loop(0, iters, body, x / jnp.linalg.norm(x))
+    y = dinv_sqrt * operator(dinv_sqrt * x)
+    return jnp.vdot(x, y).real
+
+
+def chebyshev_preconditioner(operator, d, lmax, degree=4, lmin_frac=0.06):
+    """Chebyshev polynomial of the Jacobi-scaled operator targeting
+    [lmin_frac*lmax, 1.1*lmax]. As a standalone CG preconditioner this
+    cannot beat CG's own optimal polynomial — it exists as the high-mode
+    smoother for the (planned) multigrid hierarchy."""
+    lo = lmin_frac * lmax
+    hi = 1.1 * lmax
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    dinv = 1.0 / jnp.maximum(d, 1e-30)
+
+    def M(r):
+        # standard Chebyshev iteration for A z = r, z0 = 0
+        z = jnp.zeros_like(r)
+        p = jnp.zeros_like(r)
+        alpha = jnp.asarray(0.0, r.dtype)
+        for k in range(degree):
+            resid = dinv * (r - operator(z))
+            if k == 0:
+                p = resid
+                alpha = 1.0 / theta
+            elif k == 1:
+                beta = 0.5 * (delta * alpha) ** 2
+                alpha = 1.0 / (theta - beta / alpha)
+                p = resid + beta * p
+            else:
+                beta = (delta * alpha / 2.0) ** 2
+                alpha = 1.0 / (theta - beta / alpha)
+                p = resid + beta * p
+            z = z + alpha * p
+        return z
+
+    return M
+
+
 def bicgstab(operator, b, x0=None, M=None, rtol=1e-10, maxiter=1000):
     """BiCGStab for nonsymmetric operators (jittable)."""
     b = jnp.asarray(b)
