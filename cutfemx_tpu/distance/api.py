@@ -452,12 +452,12 @@ def _interp_p1(mesh, vertex_vals, x):
 
 def _eval_function_at(f, cells, points_phys):
     """Evaluate a Function at physical points inside given cells."""
-    from ..geometry import pullback_affine
+    from ..geometry import pullback
     import jax
     V = f.function_space
     mesh = V.mesh
     coords = jnp.asarray(mesh.cell_vertex_coords[cells])
-    ref = jax.vmap(lambda c, x: pullback_affine(mesh.cell_type, c,
+    ref = jax.vmap(lambda c, x: pullback(mesh.cell_type, c,
                                                 x[None, :])[0])(
         coords, jnp.asarray(points_phys))
     tab = V.element.tabulate(ref)                 # (n, nd)
@@ -466,12 +466,12 @@ def _eval_function_at(f, cells, points_phys):
 
 
 def _levelset_normal_at(phi, cells, points_phys):
-    from ..geometry import pullback_affine
+    from ..geometry import pullback
     import jax
     V = phi.function_space
     mesh = V.mesh
     coords = jnp.asarray(mesh.cell_vertex_coords[cells])
-    ref = jax.vmap(lambda c, x: pullback_affine(mesh.cell_type, c,
+    ref = jax.vmap(lambda c, x: pullback(mesh.cell_type, c,
                                                 x[None, :])[0])(
         coords, jnp.asarray(points_phys))
     rg = V.element.tabulate_grad(ref)             # (n, nd, tdim)

@@ -23,7 +23,7 @@ from .cut.classify import CutData
 from .cut.quadrature import volume_rules
 from .cut.selector import parse_selector
 from .elements import lagrange_element
-from .geometry import pullback_affine
+from .geometry import pullback
 from .la import MatrixCSR
 from .quadrature import quadrature_rule
 
@@ -196,9 +196,6 @@ def extension_quadrature(V, cut_data: CutData,
     reference adds a Newton pullback for non-affine cells,
     extension_penalty.cpp:91-170)."""
     mesh = cut_data.mesh
-    if not mesh.ref_cell.is_simplex:
-        raise NotImplementedError(
-            "extension quadrature currently supports simplex cells")
     bad = aggregation.ill_posed_cells
     bad = bad[aggregation.root_cell[bad] >= 0]
     roots = aggregation.root_cell[bad]
@@ -211,7 +208,7 @@ def extension_quadrature(V, cut_data: CutData,
     phi1 = jnp.asarray(el1.tabulate(pts))            # (nq, nv)
     xphys = jnp.einsum("qv,cvg->cqg", phi1, coords_bad)
     pts_root = jax.vmap(
-        lambda c, x: pullback_affine(mesh.cell_type, c, x))(coords_root,
+        lambda c, x: pullback(mesh.cell_type, c, x))(coords_root,
                                                             xphys)
     # physical weights: w * |detJ_bad|
     dphi1 = jnp.asarray(el1.tabulate_grad(pts))      # (nq, nv, tdim)

@@ -712,7 +712,7 @@ def cut_function(u, cut_mesh):
     Returns a P1 Function on cut_mesh.mesh with vertex values of u."""
     from .cut.api import CutMesh
     from .functionspace import Function, FunctionSpace
-    from .geometry import pullback_affine
+    from .geometry import pullback
 
     if not isinstance(cut_mesh, CutMesh) or cut_mesh.mesh is None:
         raise ValueError("cut_function requires a non-empty CutMesh")
@@ -728,10 +728,7 @@ def cut_function(u, cut_mesh):
     parents = cut_mesh.parent_index
     vis_coords = jnp.asarray(vis.cell_vertex_coords)      # (E, m, gdim)
     par_coords = jnp.asarray(bg.cell_vertex_coords[parents])
-    if not bg.ref_cell.is_simplex:
-        raise NotImplementedError(
-            "cut_function currently supports simplex background cells")
-    ref = jax.vmap(lambda c, x: pullback_affine(bg.cell_type, c, x))(
+    ref = jax.vmap(lambda c, x: pullback(bg.cell_type, c, x))(
         par_coords, vis_coords)                            # (E, m, tdim)
     tab = V.element.tabulate(ref)                          # (E, m, nd)
     dofs = jnp.asarray(u.x).reshape(-1, V.bs)[V.dofmap[parents]]

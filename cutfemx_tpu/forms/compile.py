@@ -373,8 +373,8 @@ class IntegralKernel:
             el1 = lagrange_element(ct, 1)
             phi = el1.tabulate(pts_p)
             xq = jnp.einsum("qv,vg->qg", phi, coords[0])
-            from ..geometry import pullback_affine
-            pts_m = pullback_affine(ct, coords[1], xq)
+            from ..geometry import pullback
+            pts_m = pullback(ct, coords[1], xq)
             sides["+"] = dict(points=pts_p, coords=coords[0], h=data["h"][0],
                               local_facet=lf[0])
             sides["-"] = dict(points=pts_m, coords=coords[1], h=data["h"][1],

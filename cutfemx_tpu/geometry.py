@@ -60,6 +60,36 @@ def pullback_affine(cell_type, coords, xphys):
     return jnp.einsum("tg,qg->qt", K, xphys - origin)
 
 
+def pullback_newton(cell_type, coords, xphys, iters=8):
+    """Inverse of the (multilinear) geometry map by Newton iteration
+    (the role of the reference's non-affine pull_back,
+    cpp/cutfemx/extensions/extension_penalty.cpp:91-170).
+
+    coords: (nv, gdim); xphys: (Q, gdim) -> (Q, tdim)."""
+    cell = reference_cell(cell_type)
+    el = coordinate_element(cell_type)
+    xi = jnp.broadcast_to(
+        jnp.asarray(cell.vertices.mean(axis=0), xphys.dtype),
+        (xphys.shape[0], cell.tdim))
+    for _ in range(iters):
+        phi = el.tabulate(xi)
+        dphi = el.tabulate_grad(xi)
+        x = jnp.einsum("qv,vg->qg", phi, coords)
+        J = jnp.einsum("vg,qvt->qgt", coords, dphi)
+        K = jnp.linalg.inv(J) if J.shape[-1] == J.shape[-2] else \
+            jnp.linalg.pinv(J)
+        xi = xi + jnp.einsum("qtg,qg->qt", K, xphys - x)
+    return xi
+
+
+def pullback(cell_type, coords, xphys):
+    """General inverse geometry map: exact affine solve for simplices,
+    Newton otherwise."""
+    if reference_cell(cell_type).is_simplex:
+        return pullback_affine(cell_type, coords, xphys)
+    return pullback_newton(cell_type, coords, xphys)
+
+
 def gram_det(J):
     """sqrt(det(J^T J)) for possibly non-square J (..., gdim, tdim)."""
     g, t = J.shape[-2], J.shape[-1]

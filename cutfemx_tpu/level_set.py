@@ -120,15 +120,11 @@ def conormal(normal_field, *, tolerance=1e-14, name=None):
         pts = jnp.asarray(rules.points_padded)    # '+' cell ref coords
         coords = jnp.asarray(mesh.cell_vertex_coords[cells], pts.dtype)
         if side == "-":
-            if not mesh.ref_cell.is_simplex:
-                raise NotImplementedError(
-                    "conormal '-' side needs simplex cells (Newton "
-                    "pullback pending)")
             plus_coords = jnp.asarray(
                 mesh.cell_vertex_coords[rules.parent_cells], pts.dtype)
             phi1 = lagrange_element(mesh.cell_type, 1).tabulate(pts)
             xq = jnp.einsum("eqv,evg->eqg", phi1, plus_coords)
-            pts = jax.vmap(lambda c, x: pullback_affine(
+            pts = jax.vmap(lambda c, x: pullback(
                 mesh.cell_type, c, x))(coords, xq)
         el1 = lagrange_element(mesh.cell_type, 1)
         dphi = el1.tabulate_grad(pts)             # (E, Q, nv, t)
@@ -155,13 +151,10 @@ def correction_distance(level_set, direction, *, max_iterations=20,
     71-358): Newton iterations with the host cell's polynomial extension
     of phi."""
     mesh = level_set.function_space.mesh
-    from .geometry import pullback_affine
+    from .geometry import pullback
     import jax
 
     def evaluator(rules):
-        if not mesh.ref_cell.is_simplex:
-            raise NotImplementedError(
-                "correction_distance needs simplex cells")
         d = jnp.asarray(direction.evaluator(rules))        # (E, Q, g)
         pts = jnp.asarray(rules.points_padded)             # (E, Q, t)
         cells = rules.parent_cells
@@ -173,7 +166,7 @@ def correction_distance(level_set, direction, *, max_iterations=20,
         dofs = jnp.asarray(level_set.x)[V.dofmap[cells]]
 
         def phi_and_grad(x):
-            ref = jax.vmap(lambda c, xx: pullback_affine(
+            ref = jax.vmap(lambda c, xx: pullback(
                 mesh.cell_type, c, xx))(coords, x)
             val = jnp.einsum("eqn,en->eq", V.element.tabulate(ref), dofs)
             rg = jnp.einsum("eqnt,en->eqt", V.element.tabulate_grad(ref),

@@ -82,3 +82,41 @@ def test_vector_rhs_runtime_equals_standard():
     b_std = np.asarray(fem.assemble_vector(fem.form(inner(f, v) * dxs)))
     b_rt = np.asarray(fem.assemble_vector(fem.form(inner(f, v) * dxr)))
     assert np.abs(b_std - b_rt).max() < 1e-13
+
+
+def test_newton_pullback_hex_interior_facets():
+    """Interior-facet assembly on hex meshes uses the Newton pullback for
+    the '-' side; jump-jump matrices stay symmetric and annihilate
+    global linears (the invariant that holds for any conforming mesh)."""
+    from cutfemx_tpu.forms.dsl import (CellDiameter, FacetNormal, avg,
+                                       jump)
+    from cutfemx_tpu.forms.measure import dS
+    mesh = create_unit_cube(2, "hexahedron")
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    u, v = TrialFunction(V), TestFunction(V)
+    nf = FacetNormal(mesh)
+    h = CellDiameter(mesh)
+    G = fem.assemble_matrix(fem.form(
+        avg(h) * inner(jump(grad(u), nf), jump(grad(v), nf)) * dS)
+    ).to_dense()
+    assert np.allclose(G, G.T, atol=1e-12)
+    c = V.dof_coordinates
+    lin = 1.0 + 2 * c[:, 0] - c[:, 1] + 0.5 * c[:, 2]
+    assert np.abs(G @ lin).max() < 1e-10
+    # plain jump continuity: CG functions have zero jumps
+    J = fem.assemble_matrix(fem.form(jump(u) * jump(v) * dS)).to_dense()
+    assert np.abs(J).max() < 1e-14
+
+
+def test_newton_pullback_accuracy():
+    """pullback on a distorted hex recovers reference points exactly."""
+    from cutfemx_tpu.geometry import pullback, pushforward
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+                     [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], float)
+    coords = jnp.asarray(base + 0.15 * rng.standard_normal((8, 3)))
+    ref = jnp.asarray(rng.uniform(0.1, 0.9, (20, 3)))
+    phys = pushforward("hexahedron", coords, ref)
+    back = pullback("hexahedron", coords, phys)
+    assert np.abs(np.asarray(back - ref)).max() < 1e-12
