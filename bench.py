@@ -34,8 +34,9 @@ def main():
     from cutfemx_tpu.forms.measure import Measure
     from cutfemx_tpu.la import cg
 
-    n = int(os.environ.get("CUTFEMX_BENCH_N", "64"))
-    iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "200"))
+    n = int(os.environ.get("CUTFEMX_BENCH_N", "48"))
+    iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "500"))
+    solver = os.environ.get("CUTFEMX_BENCH_SOLVER", "jacobi")
     deg, r, gamma = 2, 0.46, 40.0
 
     host_t0 = time.perf_counter()
@@ -78,8 +79,19 @@ def main():
     def pipeline():
         af, Lf = build_forms()
         dom = fem.active_domain(af)
-        op = fem.CutOperator(af, dom)
         b = fem.assemble_vector(Lf)
+        if solver == "mg":
+            from cutfemx_tpu import mg
+            import numpy as _np
+            A = fem.assemble_matrix(af)
+            bb = _np.array(b)
+            fem.deactivate_outside(A, bb, dom)
+            t_mid = time.perf_counter()
+            x, its, res = mg.mg_solve_cg(A, V, bb, rtol=1e-6,
+                                         maxiter=iters, nu=2)
+            jax.block_until_ready(x)
+            return x, its, res, t_mid
+        op = fem.CutOperator(af, dom)
         t_mid = time.perf_counter()
         x, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters)
         x.block_until_ready()
@@ -106,6 +118,7 @@ def main():
         "assembly_s": round(t_asm - t0, 4),
         "solve_s": round(t1 - t_asm, 4),
         "cg_iters": int(its),
+        "solver": solver,
         "residual": float(res),
         "dof_per_s": round(rate, 1),
         "host_setup_s": round(host_setup, 2),

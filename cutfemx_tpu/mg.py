@@ -146,35 +146,31 @@ def _prolong_matrix(idx, w, ncols):
 
 
 def _csr_device(m):
+    """(arrays (data, cols, rows), n_rows) — n_rows kept OUT of the
+    pytree so jitted functions treat it as static."""
     m = m.tocsr()
     m.sum_duplicates()
     counts = np.diff(m.indptr)
     rows = np.repeat(np.arange(m.shape[0]), counts).astype(np.int32)
-    return (jnp.asarray(m.data), jnp.asarray(m.indices.astype(np.int32)),
-            jnp.asarray(rows), m.shape)
+    return ((jnp.asarray(m.data),
+             jnp.asarray(m.indices.astype(np.int32)),
+             jnp.asarray(rows)), int(m.shape[0]))
 
 
-def _csr_apply(level, x):
-    data, cols, rows, shape = level
+def _csr_apply(arrs, nrows, x):
+    data, cols, rows = arrs
     return jax.ops.segment_sum(data * x[cols], rows,
-                               num_segments=shape[0],
+                               num_segments=nrows,
                                indices_are_sorted=True)
 
 
 def _power_lmax(dev, dinv, n, iters=12):
     x = jnp.sin(jnp.arange(n, dtype=dinv.dtype) + 1.0)
     x = x / jnp.linalg.norm(x)
-
-    @jax.jit
-    def body(x):
-        y = dinv * _csr_apply(dev, x)
-        return y / jnp.linalg.norm(y), y
-
-    y = x
     for _ in range(iters):
-        x, y = body(x)
-    lam = float(jnp.vdot(x, dinv * _csr_apply(dev, x)).real)
-    return lam
+        y = dinv * _csr_apply(dev, n, x)
+        x = y / jnp.linalg.norm(y)
+    return float(jnp.vdot(x, dinv * _csr_apply(dev, n, x)).real)
 
 
 class MGPreconditioner:
@@ -237,82 +233,105 @@ class MGPreconditioner:
             mats.append(m)
 
         self.levels = []
+        self._sizes = []
         for k, mk in enumerate(mats):
-            dev = _csr_device(mk)
+            dev, nrows = _csr_device(mk)
             diag = np.asarray(mk.diagonal())
             diag = np.where(np.abs(diag) > 1e-300, diag, 1.0)
             dinv = jnp.asarray(1.0 / diag)
             # spectral bound of D^-1 A for Chebyshev smoothing
-            lmax = _power_lmax(dev, dinv, mk.shape[0])
+            lmax = _power_lmax(dev, dinv, nrows)
             self.levels.append(dict(A=dev, dinv=dinv, lmax=lmax))
-        self.prolongs = [_csr_device(P) for P in prolongs]
-        self.restricts = [_csr_device(P.T.tocsr()) for P in prolongs]
+            self._sizes.append(nrows)
+        self._sizes = tuple(self._sizes)
+        self.prolongs = [_csr_device(P)[0] for P in prolongs]
+        self.restricts = [_csr_device(P.T.tocsr())[0] for P in prolongs]
         Ac = mats[-1].toarray()
         self.coarse_inv = jnp.asarray(np.linalg.inv(Ac))
         self.n_levels = len(self.levels)
 
-        levels = tuple((lv["A"], lv["dinv"], lv["lmax"])
-                       for lv in self.levels)
-        prol = tuple(self.prolongs)
-        rest = tuple(self.restricts)
-        cinv = self.coarse_inv
-        nu_ = self.nu
-        nlev = self.n_levels
-
-        def smooth(Ak, dinv, lmax, b, x, degree):
-            """Chebyshev smoother on [lmax/4, 1.1 lmax] of D^-1 A."""
-            lo, hi = lmax / 4.0, 1.1 * lmax
-            theta = 0.5 * (hi + lo)
-            delta = 0.5 * (hi - lo)
-            p = jnp.zeros_like(b)
-            alpha = 0.0
-            for k in range(degree):
-                resid = dinv * (b - _csr_apply(Ak, x))
-                if k == 0:
-                    p = resid
-                    alpha = 1.0 / theta
-                else:
-                    beta = (delta * alpha / 2.0) ** 2 if k > 1 else \
-                        0.5 * (delta * alpha) ** 2
-                    alpha = 1.0 / (theta - beta / alpha)
-                    p = resid + beta * p
-                x = x + alpha * p
-            return x
-
-        def vcycle(k, b):
-            Ak, dinv, lmax = levels[k]
-            if k == nlev - 1:
-                return cinv @ b
-            x = jnp.zeros_like(b)
-            x = smooth(Ak, dinv, lmax, b, x, nu_)
-            r = b - _csr_apply(Ak, x)
-            rc = _csr_apply(rest[k], r)
-            xc = vcycle(k + 1, rc)
-            x = x + _csr_apply(prol[k], xc)
-            x = smooth(Ak, dinv, lmax, b, x, nu_)
-            return x
-
-        self._apply = jax.jit(lambda b: vcycle(0, b))
-        self._fine_apply = jax.jit(
-            lambda x: _csr_apply(levels[0][0], x))
+        self._levels = tuple((lv["A"], lv["dinv"], lv["lmax"])
+                             for lv in self.levels)
+        self._prol = tuple(self.prolongs)
+        self._rest = tuple(self.restricts)
 
     def __call__(self, r):
-        return self._apply(r)
+        return _vcycle_jit(self.n_levels, self.nu, self._sizes,
+                           self._levels, self._prol, self._rest,
+                           self.coarse_inv, r)
 
     def operator(self):
         """The fine-level CSR operator (for driving CG)."""
-        return self._fine_apply
+        A0 = self._levels[0][0]
+        n0 = self._sizes[0]
+        return lambda x: _csr_apply_jit(n0, A0, x)
+
+
+def _smooth(Ak, nk, dinv, lmax, b, x, degree):
+    """Chebyshev smoother on [lmax/4, 1.1 lmax] of D^-1 A."""
+    lo, hi = lmax / 4.0, 1.1 * lmax
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    p = jnp.zeros_like(b)
+    alpha = 0.0
+    for k in range(degree):
+        resid = dinv * (b - _csr_apply(Ak, nk, x))
+        if k == 0:
+            p = resid
+            alpha = 1.0 / theta
+        else:
+            beta = (delta * alpha / 2.0) ** 2 if k > 1 else \
+                0.5 * (delta * alpha) ** 2
+            alpha = 1.0 / (theta - beta / alpha)
+            p = resid + beta * p
+        x = x + alpha * p
+    return x
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _vcycle_jit(nlev, nu, sizes, levels, prol, rest, cinv, b):
+    """Module-level jitted V-cycle: rebuilt hierarchies with equal shapes
+    (moving domains) reuse the compiled program."""
+    def vcycle(k, bk):
+        Ak, dinv, lmax = levels[k]
+        if k == nlev - 1:
+            return cinv @ bk
+        x = jnp.zeros_like(bk)
+        x = _smooth(Ak, sizes[k], dinv, lmax, bk, x, nu)
+        r = bk - _csr_apply(Ak, sizes[k], x)
+        rc = _csr_apply(rest[k], sizes[k + 1], r)
+        xc = vcycle(k + 1, rc)
+        x = x + _csr_apply(prol[k], sizes[k], xc)
+        x = _smooth(Ak, sizes[k], dinv, lmax, bk, x, nu)
+        return x
+    return vcycle(0, b)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _csr_apply_jit(nrows, arrs, x):
+    return _csr_apply(arrs, nrows, x)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _mg_cg_jit(nlev, nu, sizes, levels, prol, rest, cinv, b, rtol,
+               maxiter):
+    from .la import cg
+    A0 = levels[0][0]
+
+    def op(x):
+        return _csr_apply(A0, sizes[0], x)
+
+    def M(r):
+        return _vcycle_jit(nlev, nu, sizes, levels, prol, rest, cinv, r)
+    return cg(op, b, M=M, rtol=rtol, maxiter=maxiter)
 
 
 def mg_solve_cg(A, V, b, *, rtol=1e-8, maxiter=200, **mg_kwargs):
     """CG on the deactivated CSR system with V-cycle preconditioning.
-    Returns (x, iters, residual_norm)."""
-    from .la import cg
+    Returns (x, iters, residual_norm). Rebuilding the hierarchy on fresh
+    data (same shapes) reuses the compiled solve."""
     M = MGPreconditioner(A, V, **mg_kwargs)
-    op = M.operator()
-
-    @jax.jit
-    def run(bb):
-        return cg(op, bb, M=M, rtol=rtol, maxiter=maxiter)
-    x, it, res = run(jnp.asarray(b))
+    x, it, res = _mg_cg_jit(M.n_levels, M.nu, M._sizes, M._levels,
+                            M._prol, M._rest, M.coarse_inv,
+                            jnp.asarray(b), rtol, maxiter)
     return x, int(it), float(res)
