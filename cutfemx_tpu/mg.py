@@ -164,13 +164,21 @@ def _csr_apply(arrs, nrows, x):
                                indices_are_sorted=True)
 
 
-def _power_lmax(dev, dinv, n, iters=12):
+@partial(jax.jit, static_argnums=(2, 3))
+def _power_lmax_jit(dev, dinv, n, iters):
     x = jnp.sin(jnp.arange(n, dtype=dinv.dtype) + 1.0)
     x = x / jnp.linalg.norm(x)
-    for _ in range(iters):
+
+    def body(_, x):
         y = dinv * _csr_apply(dev, n, x)
-        x = y / jnp.linalg.norm(y)
-    return float(jnp.vdot(x, dinv * _csr_apply(dev, n, x)).real)
+        return y / jnp.linalg.norm(y)
+
+    x = jax.lax.fori_loop(0, iters, body, x)
+    return jnp.vdot(x, dinv * _csr_apply(dev, n, x)).real
+
+
+def _power_lmax(dev, dinv, n, iters=12):
+    return float(_power_lmax_jit(dev, dinv, n, iters))
 
 
 class MGPreconditioner:
