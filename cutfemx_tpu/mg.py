@@ -206,20 +206,30 @@ class MGPreconditioner:
         self.nu = nu
         self.omega = omega
 
-        # build prolongation chain (fine to coarse)
+        # build prolongation chain (fine to coarse); vector (blocked)
+        # spaces use the scalar transfer kron'ed with the block identity
+        bs = V.bs
+
+        def blocked(P):
+            if bs == 1:
+                return P
+            return sps.kron(P, sps.eye(bs), format="csr")
+
         prolongs = []
-        if V.degree == 2 and V.bs == 1:
+        if V.degree == 2:
             V1 = FunctionSpace(mesh, ("Lagrange", 1))
-            idx, w = p2_to_p1_transfer(V, V1)
-            prolongs.append(_prolong_matrix(idx, w, V1.num_scalar_dofs))
-        elif V.degree != 1 or V.bs != 1:
+            idx, w = p2_to_p1_transfer(
+                FunctionSpace(mesh, ("Lagrange", 2)), V1)
+            prolongs.append(blocked(
+                _prolong_matrix(idx, w, V1.num_scalar_dofs)))
+        elif V.degree != 1:
             raise NotImplementedError(
-                "MG supports scalar P1/P2 spaces in round 1")
+                "MG supports P1/P2 Lagrange spaces in round 1")
 
         cur_mesh = mesh
         cur_n = n_axes.copy()
         while (cur_n % 2 == 0).all() and (cur_n > 2).all():
-            size = np.prod(cur_n // 2 + 1)
+            size = np.prod(cur_n // 2 + 1) * bs
             nxt_n = cur_n // 2
             if cur_mesh.gdim == 3:
                 nxt = create_box(lo, hi, tuple(int(k) for k in nxt_n),
@@ -229,7 +239,8 @@ class MGPreconditioner:
                                        tuple(int(k) for k in nxt_n),
                                        cur_mesh.cell_type)
             idx, w = p1_grid_transfer(cur_mesh, nxt)
-            prolongs.append(_prolong_matrix(idx, w, nxt.num_vertices))
+            prolongs.append(blocked(
+                _prolong_matrix(idx, w, nxt.num_vertices)))
             cur_mesh, cur_n = nxt, nxt_n
             if size <= coarse_size:
                 break

@@ -91,3 +91,51 @@ def test_mg_p2_beats_jacobi_iterations():
     xj, itj, _ = op.solve_cg(jnp.asarray(b), rtol=1e-8, maxiter=3000)
     xm, itm, _ = mg.mg_solve_cg(A, V, b, rtol=1e-8, maxiter=400)
     assert itm < itj / 4, (itm, itj)
+
+
+def test_mg_vector_elasticity():
+    """Blocked (vector) MG: cut elasticity with ghost penalty."""
+    from cutfemx_tpu.forms.dsl import Identity, sym, tr
+    n = 24
+    mesh = cfx.mesh.create_rectangle((-1.0, -1.0), (1.0, 1.0), (n, n))
+    Vphi = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(Vphi, name="phi")
+    phi.interpolate(lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2) - 0.6)
+    cd = cfx.cut(phi)
+    inside = cfx.locate_entities(cd, "phi<0")
+    vol = cfx.runtime_quadrature(cd, "phi<0", 2)
+    srf = cfx.runtime_quadrature(cd, "phi=0", 2)
+    gpf = cfx.ghost_penalty_facets(cd, "phi<0")
+    dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
+    dxg = Measure("dx", domain=mesh, subdomain_data=srf)
+    dSg = Measure("dS", domain=mesh, subdomain_data=gpf)
+    V = cfx.functionspace(mesh, ("Lagrange", 1), shape=(2,))
+    u, v = TrialFunction(V), TestFunction(V)
+    ng = cfx.normal(phi)
+    nf = FacetNormal(mesh)
+    h = CellDiameter(mesh)
+
+    def sigma(w):
+        e = sym(grad(w))
+        return 2 * e + 1.3 * tr(e) * Identity(2)
+
+    a = inner(sigma(u), sym(grad(v))) * dxo
+    a += (-inner(dot(sigma(u), ng), v) - inner(dot(sigma(v), ng), u)
+          + 60.0 / h * inner(u, v)) * dxg
+    a += 0.1 * avg(h) * inner(jump(grad(u), nf), jump(grad(v), nf)) * dSg
+    from cutfemx_tpu.forms.dsl import as_vector
+    L = inner(as_vector([0.0, -1.0]), v) * dxo
+    af, Lf = fem.form(a), fem.form(L)
+    dom = fem.active_domain(af)
+    A = fem.assemble_matrix(af)
+    b = np.array(fem.assemble_vector(Lf))
+    fem.deactivate_outside(A, b, dom)
+    import jax.numpy as jnp
+    op = fem.CutOperator(af, dom)
+    xj, itj, _ = op.solve_cg(jnp.asarray(b), rtol=1e-8, maxiter=3000)
+    xm, itm, _ = mg.mg_solve_cg(A, V, b, rtol=1e-8, maxiter=200)
+    mask = dom.active_mask
+    rel = (np.abs(np.asarray(xj) - np.asarray(xm))[mask].max()
+           / max(np.abs(np.asarray(xj)[mask]).max(), 1e-12))
+    assert rel < 1e-6
+    assert itm < itj / 2, (itm, itj)
