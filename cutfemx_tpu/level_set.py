@@ -104,7 +104,7 @@ def conormal(normal_field, *, tolerance=1e-14, name=None):
         raise TypeError("conormal expects a vector-valued quadrature field")
     mesh = normal_field.mesh
     gdim = mesh.gdim
-    from .geometry import facet_reference_normals, pullback_affine
+    from .geometry import facet_reference_normals, pullback
     import jax
 
     def evaluator(rules, side):
