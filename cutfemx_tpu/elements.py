@@ -100,10 +100,23 @@ def _lattice_points(cell_type: str, degree: int):
         return (d, 0)
 
     owners = [owner(x) for x in pts]
-    # order: by entity dim, entity index, then lexicographic coordinates
+
+    def entity_param(i):
+        """Within-entity ordering: edge-interior dofs run along the edge
+        direction a->b (as listed in cell.edges) so the cross-cell
+        orientation permutation in the dofmap builder is exact; other
+        entities use lexicographic coordinates."""
+        edim, eidx = owners[i]
+        if edim == 1 and d >= 2:
+            a, b = cell.edges[eidx]
+            va, vb = cell.vertices[a], cell.vertices[b]
+            t = vb - va
+            return (float(np.dot(pts[i] - va, t) / np.dot(t, t)),)
+        return tuple(np.round(pts[i] * p).astype(int))
+
     order = sorted(range(len(pts)),
                    key=lambda i: (owners[i][0], owners[i][1],
-                                  tuple(np.round(pts[i] * p).astype(int))))
+                                  entity_param(i)))
     pts = pts[order]
     owners = [owners[i] for i in order]
     return pts, owners

@@ -128,3 +128,26 @@ def test_p2_poisson_solve_convergence():
     u_ex = np.sin(np.pi * coords[:, 0]) * np.sin(np.pi * coords[:, 1])
     err = np.abs(uh - u_ex).max()
     assert err < 2e-3
+
+
+@pytest.mark.parametrize("cell_type,n", [("triangle", 3),
+                                         ("tetrahedron", 2)])
+def test_p3_mass_and_stiffness(cell_type, n):
+    """P3 elements (incl. tet face-interior dofs): partition of unity and
+    constant nullspace."""
+    mesh = (create_unit_square(n) if cell_type == "triangle"
+            else create_unit_cube(n))
+    V = cfx.functionspace(mesh, ("Lagrange", 3))
+    u, v = TrialFunction(V), TestFunction(V)
+    M = fem.assemble_matrix(fem.form(u * v * dx)).to_dense()
+    K = fem.assemble_matrix(fem.form(inner(grad(u), grad(v)) * dx
+                                     )).to_dense()
+    assert np.isclose(M.sum(), 1.0, atol=1e-12)
+    assert np.abs(K @ np.ones(V.dim)).max() < 1e-10
+    # cubic fields are reproduced exactly: K @ x^3 pairs with -3x... check
+    # via projection: M^{-1} (b of x^3) equals nodal x^3
+    x = SpatialCoordinate(mesh)
+    b = np.asarray(fem.assemble_vector(fem.form(x[0] ** 3 * v * dx)))
+    coef = np.linalg.solve(M, b)
+    coords = V.dof_coordinates
+    assert np.abs(coef - coords[:, 0] ** 3).max() < 1e-9
