@@ -81,3 +81,27 @@ def test_adapt_mesh_to_stl_3d(tmp_path):
     # 2D marked-edge adaptation loop terminates
     edges = distance.refinement_edges_from_stl(mesh, soup, rings=1)
     assert len(edges) > 0
+
+
+def test_vtu_output(tmp_path):
+    """VTU writer produces valid XML for background + cut meshes with
+    point/cell data (the reference's XDMF/VTK output role)."""
+    import xml.etree.ElementTree as ET
+    from cutfemx_tpu import io as cio
+    mesh = cfx.mesh.create_rectangle((-1, -1), (1, 1), (8, 8))
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(V, name="phi")
+    phi.interpolate(lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2) - 0.5)
+    cd = cfx.cut(phi)
+    cm = cfx.create_cut_mesh(cd, "phi<0", mode="full")
+    p1 = tmp_path / "bg.vtu"
+    cio.write_vtu(p1, mesh,
+                  point_data={"phi": np.asarray(phi.x)[:mesh.num_vertices]})
+    p2 = tmp_path / "cut.vtu"
+    cio.write_cut_mesh(p2, cm, [phi])
+    for p in (p1, p2):
+        root = ET.parse(p).getroot()
+        assert root.tag == "VTKFile"
+    # cut file has parent_index cell data
+    txt = p2.read_text()
+    assert "parent_index" in txt and "is_cut_cell" in txt
