@@ -508,11 +508,13 @@ def assemble_vector(f: CutForm):
     return b
 
 
-def assemble_matrix(f: CutForm, bcs=None):
+def assemble_matrix(f: CutForm, bcs=None, extension_terms=None):
     """Assemble a rank-2 form into a host CSR matrix (oracle/direct path;
     the performance path is CutOperator). With ``bcs``, rows and columns
     of constrained dofs are zeroed with a unit diagonal (DOLFINx
-    convention; pair with apply_lifting + set_bc)."""
+    convention; pair with apply_lifting + set_bc). ``extension_terms``
+    adds aggregation extension penalties (the reference's
+    assemble_matrix(..., extension_terms=...), fem.py:887)."""
     if f.rank != 2:
         raise ValueError("assemble_matrix requires a rank-2 form")
     V, U = f.test_space, f.trial_space
@@ -533,6 +535,13 @@ def assemble_matrix(f: CutForm, bcs=None):
         A = MatrixCSR.from_coo(np.concatenate(rows_all),
                                np.concatenate(cols_all),
                                np.concatenate(vals_all), (V.dim, U.dim))
+    if extension_terms:
+        from .extensions import assemble_extension_penalty
+        terms = extension_terms if isinstance(extension_terms,
+                                              (list, tuple)) \
+            else [extension_terms]
+        for term in terms:
+            assemble_extension_penalty(A, term)
     if bcs:
         bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs]))
         m = A.to_scipy().tolil()
@@ -663,7 +672,18 @@ def deactivate_outside(A, b, domain: ActiveDomain, diag=1.0):
     return A, b
 
 
-def zero_rows(A: MatrixCSR, rows, diag=1.0):
+def zero_rows(A: MatrixCSR, rows=None, diag=1.0, *, tol=0.0):
+    """Two reference-compatible behaviors:
+
+    - ``zero_rows(A, rows)``: zero the given rows with ``diag`` on the
+      diagonal (deactivate.h:265-320 role);
+    - ``zero_rows(A, tol=...)`` with no rows: RETURN the indices of rows
+      whose entries are all <= tol in magnitude — the reference's
+      post-deactivation diagnostic (fem.py:777-784)."""
+    if rows is None:
+        m = A.to_scipy().tocsr()
+        sums = np.asarray(np.abs(m).sum(axis=1)).ravel()
+        return np.flatnonzero(sums <= tol).astype(np.int32)
     A.zero_rows(rows, diag=diag)
     return A
 
