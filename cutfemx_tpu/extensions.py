@@ -252,8 +252,8 @@ def _penalty_dofs(V, eq):
     return np.concatenate([bd[eq.bad_cells], bd[eq.root_cells]], axis=1)
 
 
-def assemble_extension_penalty(A, V, cut_data, aggregation, beta=None,
-                               quadrature_degree=None):
+def assemble_extension_penalty(A, V, cut_data=None, aggregation=None,
+                               beta=None, quadrature_degree=None):
     """Assemble the L2 extension penalty into ``A`` (MatrixCSR). ``beta``
     is a scalar, a per-cell array, or a DG0 Function evaluated on bad
     cells (extensions.py:302-351)."""

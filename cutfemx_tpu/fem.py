@@ -543,13 +543,22 @@ def assemble_matrix(f: CutForm, bcs=None, extension_terms=None):
         for term in terms:
             assemble_extension_penalty(A, term)
     if bcs:
+        import scipy.sparse as sps
         bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs]))
-        m = A.to_scipy().tolil()
-        m[bc_dofs, :] = 0.0
-        m[:, bc_dofs] = 0.0
+        m = A.to_scipy().tocsr()
+        sel_r = np.zeros(m.shape[0], bool)
+        sel_r[bc_dofs] = True
+        sel_c = np.zeros(m.shape[1], bool)
+        sel_c[bc_dofs[bc_dofs < m.shape[1]]] = True
+        row_ids = np.repeat(np.arange(m.shape[0]), np.diff(m.indptr))
+        kill = sel_r[row_ids] | sel_c[m.indices]
+        m.data[kill] = 0.0
+        m.eliminate_zeros()
         if V.dim == U.dim:
-            m[bc_dofs, bc_dofs] = 1.0
-        A._m = m.tocsr()
+            d = sps.coo_matrix((np.ones(len(bc_dofs)),
+                                (bc_dofs, bc_dofs)), shape=m.shape)
+            m = (m + d).tocsr()
+        A._m = m
     return A
 
 

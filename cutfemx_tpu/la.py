@@ -57,17 +57,27 @@ class MatrixCSR:
         """Zero the given rows and set ``diag`` on the diagonal (the role of
         /root/reference/cpp/cutfemx/fem/deactivate.h:265-320 zero_rows +
         set_diagonal)."""
+        import scipy.sparse as sps
         rows = np.asarray(rows, dtype=np.int64)
         if rows.size == 0:
             return
-        m = self._m.tolil()
-        m[rows, :] = 0.0
+        m = self._m.tocsr()
+        # zero the stored entries of the selected rows in-place on the CSR
+        # data (scipy lil fancy assignment would materialize a dense block)
+        sel = np.zeros(m.shape[0], dtype=bool)
+        sel[rows] = True
+        row_ids = np.repeat(np.arange(m.shape[0]),
+                            np.diff(m.indptr))
+        m.data[sel[row_ids]] = 0.0
+        m.eliminate_zeros()
         if diag != 0.0:
             if m.shape[0] != m.shape[1]:
                 raise ValueError(
                     "cannot set a diagonal on a non-square block")
-            m[rows, rows] = diag
-        self._m = m.tocsr()
+            d = sps.coo_matrix((np.full(len(rows), diag), (rows, rows)),
+                               shape=m.shape)
+            m = (m + d).tocsr()
+        self._m = m
 
     def __matmul__(self, x):
         return self._m @ x
