@@ -12,7 +12,7 @@ points pulled back into root reference coordinates).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -160,7 +160,6 @@ def create_cell_aggregation(cut_data: CutData, selector: str,
 
 
 def _cell_volumes(mesh, cells):
-    from .cells import reference_cell
     coords = mesh.cell_vertex_coords[cells]
     cell = mesh.ref_cell
     split = cell.simplex_split

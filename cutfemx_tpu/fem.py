@@ -11,7 +11,7 @@ fem.py:_create_cpp_form in the reference) and performs the global scatter.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -418,7 +418,7 @@ def derivative(residual_expr, u, du=None):
     trial coefficients) is the exact Newton Jacobian at u's current
     state. The capability the reference cannot offer — its FFCx kernels
     are compiled for fixed multilinear forms."""
-    from .forms.dsl import (Argument, CoefficientExpr, Sum, TrialFunction,
+    from .forms.dsl import (CoefficientExpr, Sum, TrialFunction,
                             replace)
     from .forms.measure import FormExpr, Integral
     if du is None:

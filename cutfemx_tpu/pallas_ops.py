@@ -11,7 +11,6 @@ on CPU (tests); the kernel is an opt-in path for TPU runs.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 
