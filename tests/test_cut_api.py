@@ -108,8 +108,9 @@ def test_volume_complement_sums_to_cell_volume():
     # physical cell volumes of the cut cells
     cells = neg.parent_map
     coords = mesh.cell_vertex_coords[cells]
-    vol = 0.5 * np.abs(np.cross(coords[:, 1] - coords[:, 0],
-                                coords[:, 2] - coords[:, 0]))
+    e1 = coords[:, 1] - coords[:, 0]
+    e2 = coords[:, 2] - coords[:, 0]
+    vol = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
     assert np.allclose(wneg + wpos, vol, rtol=1e-12)
     assert (wneg > 0).all() and (wpos > 0).all()
 
@@ -128,8 +129,10 @@ def test_circle_area_and_perimeter(degree):
 
     area_cut = float(np.asarray(vol_rules.weights_padded).sum())
     coords = mesh.cell_vertex_coords[inside]
-    area_full = 0.5 * np.abs(np.cross(coords[:, 1] - coords[:, 0],
-                                      coords[:, 2] - coords[:, 0])).sum()
+    e1 = coords[:, 1] - coords[:, 0]
+    e2 = coords[:, 2] - coords[:, 0]
+    area_full = 0.5 * np.abs(e1[:, 0] * e2[:, 1]
+                             - e1[:, 1] * e2[:, 0]).sum()
     area = area_cut + area_full
     perim = float(np.asarray(surf_rules.weights_padded).sum())
     h = 2.0 / n
@@ -228,7 +231,9 @@ def test_create_cut_mesh_area():
     cm = cfx.create_cut_mesh(cd, "phi<0", mode="full")
     assert cm.mesh is not None
     v = cm.mesh.cell_vertex_coords
-    areas = 0.5 * np.abs(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    areas = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
     assert abs(areas.sum() - np.pi * 0.31 ** 2) < 2 * (2 / 24) ** 2
     assert cm.parent_index.shape[0] == cm.mesh.num_cells
     assert set(np.unique(cm.is_cut_cell)) <= {0, 1}
