@@ -98,7 +98,9 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
     if backend not in ("straight", "algoim", "algoim_general"):
         raise ValueError(f"unknown backend '{backend}'")
     terms = parse_selector(ls_part)
-    if len(terms) == 1 and len(terms[0]) > 1:
+    if len(terms) > 1:
+        return _union_runtime_quadrature(cut_data, terms, order)
+    if len(terms[0]) > 1:
         return _compound_runtime_quadrature(cut_data, terms[0], order)
     name, op = _single_clause(ls_part)
     try:
@@ -129,16 +131,9 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
     raise NotImplementedError(f"entity dim {cut_data.hosted_dim}")
 
 
-def _compound_runtime_quadrature(cut_data, clauses, order):
-    """AND-intersection region rules: cells matching every clause
-    inclusively with at least one clause intersected; each cell cut
-    recursively by all participating level sets."""
-    from .quadrature import compound_volume_rules
+def _compound_masks(cut_data, clauses):
+    """(inclusive-match mask, any-clause-intersected mask, phis, sides)."""
     from .selector import DOMAIN_INSIDE, DOMAIN_OUTSIDE
-    mesh = cut_data.mesh
-    if cut_data.hosted_dim != mesh.tdim:
-        raise NotImplementedError(
-            "compound runtime quadrature requires cell-hosted CutData")
     phis, sides = [], []
     incl = np.ones(len(cut_data.hosted_entities), bool)
     any_cut = np.zeros(len(cut_data.hosted_entities), bool)
@@ -154,10 +149,82 @@ def _compound_runtime_quadrature(cut_data, clauses, order):
         any_cut |= d == DOMAIN_INTERSECTED
         phis.append(cut_data.level_sets[idx])
         sides.append("<" if op in ("<", "<=") else ">")
-    cells = cut_data.hosted_entities[incl & any_cut]
+    return incl, any_cut, phis, sides
+
+
+def _compound_runtime_quadrature(cut_data, clauses, order, cells=None):
+    """AND-intersection region rules: cells matching every clause
+    inclusively with at least one clause intersected (or an explicit cell
+    set); each cell cut recursively by all participating level sets."""
+    from .quadrature import compound_volume_rules
+    mesh = cut_data.mesh
+    if cut_data.hosted_dim != mesh.tdim:
+        raise NotImplementedError(
+            "compound runtime quadrature requires cell-hosted CutData")
+    incl, any_cut, phis, sides = _compound_masks(cut_data, clauses)
+    if cells is None:
+        cells = cut_data.hosted_entities[incl & any_cut]
     levels = max(_subdivision_levels(cut_data, p) for p in phis)
     return compound_volume_rules(mesh, list(zip(phis, sides)), cells,
                                  order, levels=levels)
+
+
+def _union_runtime_quadrature(cut_data, terms, order):
+    """OR of AND-terms by inclusion-exclusion: |A u B| = A + B - A^B,
+    emitted as concatenated signed-weight rule blocks (every subset S of
+    terms contributes (-1)^(|S|+1) x rules(AND of S's clauses))."""
+    from itertools import combinations
+
+    import jax.numpy as jnp
+
+    for clauses in terms:
+        for name, op in clauses:
+            if op == "=":
+                raise NotImplementedError(
+                    "union selectors with '=' clauses are not supported "
+                    "for runtime quadrature")
+    nent = len(cut_data.hosted_entities)
+    # cells fully inside some term are the user's standard-entity set
+    # (locate_entities); rules cover every other cell the union touches.
+    fully_inside = np.zeros(nent, bool)
+    for clauses in terms:
+        incl, any_cut, _, _ = _compound_masks(cut_data, clauses)
+        fully_inside |= incl & ~any_cut
+    pieces = []
+    k = len(terms)
+    for size in range(1, k + 1):
+        for subset in combinations(range(k), size):
+            clauses = [c for i in subset for c in terms[i]]
+            # drop duplicate clauses
+            seen, uniq = set(), []
+            for c in clauses:
+                if c not in seen:
+                    seen.add(c)
+                    uniq.append(c)
+            incl, any_cut, _, _ = _compound_masks(cut_data, uniq)
+            cells = cut_data.hosted_entities[incl & ~fully_inside]
+            rules = _compound_runtime_quadrature(cut_data, uniq, order,
+                                                 cells=cells)
+            sign = 1.0 if size % 2 == 1 else -1.0
+            pieces.append((sign, rules))
+
+    mesh = cut_data.mesh
+    qmax = max(np.asarray(r.points_padded).shape[1] for _, r in pieces)
+    parents, pts, wts = [], [], []
+    for sign, r in pieces:
+        p = np.asarray(r.points_padded)
+        w = sign * np.asarray(r.weights_padded)
+        pad = qmax - p.shape[1]
+        if pad:
+            p = np.pad(p, ((0, 0), (0, pad), (0, 0)))
+            w = np.pad(w, ((0, 0), (0, pad)))
+        parents.append(r.parent_map)
+        pts.append(p)
+        wts.append(w)
+    return RuntimeQuadratureRules(
+        mesh.tdim, np.concatenate(parents),
+        jnp.asarray(np.concatenate(pts)),
+        jnp.asarray(np.concatenate(wts)), mesh=mesh)
 
 
 def runtime_quadratures(cut_data: CutData, ls_parts, order: int, *,

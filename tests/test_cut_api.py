@@ -287,3 +287,28 @@ def test_compound_selector_runtime_quadrature():
     exact = r * r * np.arccos(d / r) - d * np.sqrt(r * r - d * d)
     h = 2.0 / n
     assert abs(area - exact) < 3 * h ** 2, (area, exact)
+
+
+def test_union_selector_runtime_quadrature():
+    """OR-term boolean-region quadrature by inclusion-exclusion:
+    area of {a<0 or b<0} on the unit square."""
+    n = 20
+    mesh = create_unit_square(n)
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    a = cfx.Function(V, name="a")
+    a.interpolate(lambda x: x[0] - 0.313)
+    b = cfx.Function(V, name="b")
+    b.interpolate(lambda x: x[1] - 0.217)
+    cd = cfx.cut([a, b])
+    rules = cfx.runtime_quadrature(cd, "a<0 or b<0", 2)
+    # full cells strictly inside the union
+    strict = cfx.locate_entities(cd, "a<0 or b<0")
+    cut_like = np.unique(rules.parent_map)
+    full_cells = np.setdiff1d(strict, cut_like)
+    coords = mesh.cell_vertex_coords[full_cells]
+    e1 = coords[:, 1] - coords[:, 0]
+    e2 = coords[:, 2] - coords[:, 0]
+    full = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]).sum()
+    area = full + float(np.asarray(rules.weights_padded).sum())
+    exact = 1.0 - (1 - 0.313) * (1 - 0.217)
+    assert abs(area - exact) < 1e-10, (area, exact)
