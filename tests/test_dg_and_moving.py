@@ -108,3 +108,15 @@ def test_moving_domain_recut_loop():
     # compiled-kernel cache did not grow after the first step
     assert len(_KERNEL_CACHE) == n_kernels
     assert max(errs) < 8e-3, errs
+
+
+def test_moving_heat_equation():
+    """Backward-Euler heat on a translating disk (BASELINE config 5):
+    errors stay bounded across re-cut steps."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "demo_moving_heat", "demos/demo_moving_heat.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    errors = mod.run(n=24, steps=5)
+    assert max(errors) < 5e-3, errors
