@@ -17,7 +17,8 @@ import numpy as np
 
 __all__ = ["TriSoup", "read_stl", "write_stl", "stl_bbox",
            "distribute_stl", "build_cell_triangle_map", "CellTriangleMap",
-           "point_triangle_distance", "point_segment_distance"]
+           "point_triangle_distance", "point_segment_distance",
+           "orient_surface", "OrientDiagnostics"]
 
 
 @dataclass
@@ -106,6 +107,78 @@ def _weld(verts, normals):
     flip = np.einsum("ij,ij->i", N, geo_n) < 0
     N = np.where(flip[:, None], -N, N)
     return TriSoup(X, tri, N, np.arange(nt, dtype=np.int64))
+
+
+@dataclass
+class OrientDiagnostics:
+    """Orientation pass report (orient_surface.h:66-376)."""
+    n_components: int
+    n_flipped: int
+    n_boundary_edges: int
+    n_nonmanifold_edges: int
+    component_of: np.ndarray
+
+
+def orient_surface(soup: TriSoup):
+    """Orient each connected component consistently (BFS over the edge
+    adjacency, flipping windings so shared edges are traversed in
+    opposite directions) and report manifoldness diagnostics — the role
+    of /root/reference/cpp/cutfemx/distance/stl/orient_surface.h.
+
+    Returns (oriented TriSoup, OrientDiagnostics)."""
+    tri = soup.tri.copy()
+    nt = len(tri)
+    # edge -> incident triangles (with the edge's direction in each)
+    from collections import defaultdict
+    edge_tris = defaultdict(list)
+    for t in range(nt):
+        a, b, c = tri[t]
+        for (u, v) in ((a, b), (b, c), (c, a)):
+            edge_tris[(min(u, v), max(u, v))].append((t, u < v))
+
+    nonmanifold = sum(1 for lst in edge_tris.values() if len(lst) > 2)
+    boundary = sum(1 for lst in edge_tris.values() if len(lst) == 1)
+
+    comp = np.full(nt, -1, np.int64)
+    flipped = np.zeros(nt, bool)
+    ncomp = 0
+    for seed in range(nt):
+        if comp[seed] >= 0:
+            continue
+        comp[seed] = ncomp
+        stack = [seed]
+        while stack:
+            t = stack.pop()
+            a, b, c = tri[t]
+            for (u, v) in ((a, b), (b, c), (c, a)):
+                key = (min(u, v), max(u, v))
+                lst = edge_tris[key]
+                if len(lst) != 2:
+                    continue
+                for (t2, _) in lst:
+                    if t2 == t or comp[t2] >= 0:
+                        continue
+                    # consistent orientation: the shared edge must be
+                    # traversed in opposite directions by the two tris
+                    def direction(tt, uu, vv):
+                        x, y, z = tri[tt]
+                        return ((x, y), (y, z), (z, x)).count((uu, vv))
+                    same = direction(t2, u, v) > 0
+                    if same:
+                        tri[t2] = tri[t2][[0, 2, 1]]
+                        flipped[t2] = True
+                    comp[t2] = ncomp
+                    stack.append(t2)
+        ncomp += 1
+
+    e1 = soup.X[tri[:, 1]] - soup.X[tri[:, 0]]
+    e2 = soup.X[tri[:, 2]] - soup.X[tri[:, 0]]
+    N = np.cross(e1, e2)
+    N /= np.maximum(np.linalg.norm(N, axis=1, keepdims=True), 1e-300)
+    out = TriSoup(soup.X, tri, N, soup.tri_gid)
+    diag = OrientDiagnostics(ncomp, int(flipped.sum()), boundary,
+                             nonmanifold, comp)
+    return out, diag
 
 
 def write_stl(path, soup: TriSoup):

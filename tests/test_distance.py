@@ -194,3 +194,31 @@ def test_refine_marked_conforming():
                            np.cross(vv[:, 1] - vv[:, 0], vv[:, 2] - vv[:, 0]),
                            vv[:, 3] - vv[:, 0])).sum() / 6.0
     assert np.isclose(vol, 1.0, atol=1e-12)
+
+
+def test_orient_surface():
+    """BFS orientation makes all windings consistent (outward normals on
+    a sphere after fixing the flipped half) and reports diagnostics —
+    mirrors /root/reference/cpp/tests/test_orient_surface.cpp."""
+    from cutfemx_tpu.distance.stl import orient_surface, read_stl
+    import tempfile, os
+    raw = _sphere_soup(r=0.5, n=4)
+    # weld duplicated face-boundary vertices via the STL roundtrip
+    d = tempfile.mkdtemp()
+    write_stl(os.path.join(d, "s.stl"), raw)
+    soup = read_stl(os.path.join(d, "s.stl"))
+    # scramble: flip a random half of the windings
+    rng = np.random.default_rng(0)
+    bad = soup.tri.copy()
+    flip = rng.random(len(bad)) < 0.5
+    bad[flip] = bad[flip][:, [0, 2, 1]]
+    from cutfemx_tpu.distance.stl import TriSoup
+    scrambled = TriSoup(soup.X, bad, soup.N.copy(), soup.tri_gid)
+    fixed, diag = orient_surface(scrambled)
+    assert diag.n_components == 1
+    assert diag.n_nonmanifold_edges == 0
+    assert diag.n_boundary_edges == 0
+    # consistent: all normals point the same way (in or out) -> flip sign
+    cent = fixed.X[fixed.tri].mean(axis=1)
+    dots = np.einsum("ij,ij->i", fixed.N, cent)
+    assert (dots > 0).all() or (dots < 0).all()
