@@ -172,6 +172,25 @@ class HaloOperator:
                 g = part.global_of_local[p, i]
                 if g >= 0:
                     lofg[(p, g)] = i
+        # validate: every instance's receiving dofs must live in the
+        # entity's assigned slab (interior-facet terms straddling a slab
+        # boundary need two-sided ghosting — round-2 work; use the psum
+        # operator for ghost-penalty forms meanwhile)
+        for (Ae, rows), cells in zip(mats_p, inst_cells):
+            cells0 = cells if cells.ndim == 1 else cells[:, 0]
+            slabs = part.cell_part[cells0]
+            for p in range(part.nparts):
+                sel = np.flatnonzero(slabs == p)
+                have = set(part.global_of_local[p][
+                    part.global_of_local[p] >= 0].tolist())
+                needed = set(np.unique(rows[sel]).tolist())
+                if not needed <= have:
+                    raise NotImplementedError(
+                        "HaloOperator: an integral couples dofs across "
+                        "non-neighbor slabs (e.g. ghost-penalty facets on "
+                        "slab boundaries); use the psum-sharded operator "
+                        "or fewer partitions")
+
         stacked = []
         for i in range(self.n_inst):
             emax = max(len(per_slab[p][i][0]) for p in range(part.nparts))
