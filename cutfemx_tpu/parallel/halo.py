@@ -1,12 +1,14 @@
 """Owner-computes halo-exchange parallelism over a TPU device mesh.
 
 The TPU-native replacement for DOLFINx IndexMap ghost scatters (SURVEY.md
-§2f): cells are partitioned into contiguous geometric slabs along the
-domain's longest axis; each dof is owned by the lowest-index slab touching
-it and ghosted in the (single) neighbor slab. ``scatter_fwd`` (owner ->
-ghost copy) and ``scatter_rev`` (ghost -> owner add) become one
-``ppermute`` each over the mesh axis inside ``shard_map`` — exactly the
-halo pattern of the reference's MPI layer (deactivate.h:181-182), riding
+§2f): cells partition into contiguous geometric slabs along the domain's
+longest axis; each slab also carries a one-cell ghost layer so
+facet-coupling terms (ghost penalty, DG) assemble locally. Dofs are owned
+by the lowest-index slab touching them; each slab's locals are
+[owned | left ghosts (owner p-1) | right ghosts (owner p+1)].
+``scatter_rev`` (ghost -> owner add) and ``scatter_fwd`` (owner -> ghost
+refresh) are two ``ppermute`` pairs over the mesh axis inside
+``shard_map`` — the reference's MPI pattern (deactivate.h:181-182) riding
 ICI. CG dot products reduce owned entries with a ``psum``.
 """
 
@@ -28,30 +30,30 @@ __all__ = ["SlabPartition", "build_slab_partition", "HaloOperator"]
 class SlabPartition:
     """Host-side partition data, padded to uniform per-slab sizes."""
     nparts: int
-    cell_part: np.ndarray          # (NC,)
-    cells_of_part: np.ndarray      # (P, cmax) cell ids, -1 padded
-    n_cells: np.ndarray            # (P,)
-    # local dof numbering: [owned | ghosts]; ghosts owned by part-1
+    cell_part: np.ndarray          # (NC,) owning slab per cell
     n_owned: np.ndarray            # (P,)
-    n_ghost: np.ndarray            # (P,)
-    local_size: int                # owned_max + ghost_max (uniform)
     owned_max: int
-    ghost_max: int
-    global_of_local: np.ndarray    # (P, local_size) global dof, -1 padded
-    local_dofmap: np.ndarray       # (P, cmax, nd) local dof per cell slot
-    # exchange: ghosts of part p are owned by part p-1;
-    # send_slots[p] = local (owned) slots of p that p+1 ghosts, aligned
-    # with p+1's ghost slot order
-    send_slots: np.ndarray         # (P, ghost_max) -1 padded
-    dof_owner: np.ndarray          # (num_dofs,)
+    gl_max: int                    # left-ghost padding
+    gr_max: int                    # right-ghost padding
+    local_size: int                # owned_max + gl_max + gr_max
+    global_of_local: np.ndarray    # (P, local_size), -1 padded
+    # exchange tables (aligned with the neighbor's ghost slot order):
+    send_left_slots: np.ndarray    # (P, gl_max): owned slots of p that
+    #                                 p+1 holds as left ghosts
+    send_right_slots: np.ndarray   # (P, gr_max): owned slots of p that
+    #                                 p-1 holds as right ghosts
+    ghostl_valid: np.ndarray       # (P, gl_max) bool
+    ghostr_valid: np.ndarray       # (P, gr_max) bool
+    dof_owner: np.ndarray
+    local_of_global: dict
 
 
 def build_slab_partition(V, nparts) -> SlabPartition:
-    """Partition cells of V.mesh into geometric slabs and build the halo
-    layout for V's (blocked) dofs."""
+    """Partition cells of V.mesh into geometric slabs with one-cell ghost
+    layers and build the two-sided halo layout for V's blocked dofs."""
     mesh = V.mesh
-    nd_cell = V.blocked_dofmap.shape[1]
-    bs = V.bs
+    bd = V.blocked_dofmap
+    nd_cell = bd.shape[1]
     ndofs = V.dim
 
     mids = mesh.midpoints()
@@ -63,73 +65,81 @@ def build_slab_partition(V, nparts) -> SlabPartition:
     for p, cs in enumerate(parts_cells):
         cell_part[cs] = p
 
-    bd = V.blocked_dofmap                      # (NC, nd)
     dof_owner = np.full(ndofs, nparts, np.int32)
-    np.minimum.at(dof_owner, bd.ravel(),
-                  np.repeat(cell_part, nd_cell))
+    np.minimum.at(dof_owner, bd.ravel(), np.repeat(cell_part, nd_cell))
 
-    # per-part local numbering
-    owned_lists, ghost_lists = [], []
+    # one-cell ghost layer via facet adjacency
+    fc = mesh.facet_cells
+    interior = fc[:, 1] >= 0
+    a, b = fc[interior, 0], fc[interior, 1]
+
+    owned_lists, gl_lists, gr_lists = [], [], []
     for p in range(nparts):
+        own_cells = parts_cells[p]
+        in_p = cell_part == p
+        nb = np.concatenate([b[in_p[a]], a[in_p[b]]])
+        layer_cells = np.unique(np.concatenate([own_cells, nb]))
+        touched = np.unique(bd[layer_cells].ravel())
         owned = np.flatnonzero(dof_owner == p)
-        touched = np.unique(bd[parts_cells[p]].ravel())
         ghosts = touched[dof_owner[touched] != p]
         owners = dof_owner[ghosts]
-        if len(ghosts) and not (owners == p - 1).all():
+        if len(ghosts) and not np.isin(owners, [p - 1, p + 1]).all():
             raise ValueError(
                 "slab partition has non-neighbor ghosts; use fewer "
                 "partitions or a finer mesh")
         owned_lists.append(owned)
-        ghost_lists.append(ghosts)
+        gl_lists.append(ghosts[owners == p - 1])
+        gr_lists.append(ghosts[owners == p + 1])
 
     owned_max = max(len(o) for o in owned_lists)
-    ghost_max = max((len(g) for g in ghost_lists), default=0)
-    ghost_max = max(ghost_max, 1)
-    cmax = max(len(c) for c in parts_cells)
-    local_size = owned_max + ghost_max
+    gl_max = max(max((len(g) for g in gl_lists), default=0), 1)
+    gr_max = max(max((len(g) for g in gr_lists), default=0), 1)
+    local_size = owned_max + gl_max + gr_max
 
     global_of_local = np.full((nparts, local_size), -1, np.int64)
-    local_of_global = {}
+    lofg = {}
     for p in range(nparts):
         for i, g in enumerate(owned_lists[p]):
             global_of_local[p, i] = g
-            local_of_global[(p, g)] = i
-        for i, g in enumerate(ghost_lists[p]):
+            lofg[(p, g)] = i
+        for i, g in enumerate(gl_lists[p]):
             global_of_local[p, owned_max + i] = g
-            local_of_global[(p, g)] = owned_max + i
+            lofg[(p, g)] = owned_max + i
+        for i, g in enumerate(gr_lists[p]):
+            global_of_local[p, owned_max + gl_max + i] = g
+            lofg[(p, g)] = owned_max + gl_max + i
 
-    cells_of_part = np.full((nparts, cmax), -1, np.int64)
-    local_dofmap = np.full((nparts, cmax, nd_cell), local_size - 1,
-                           np.int64)  # dummy slot: last ghost pad
-    for p, cs in enumerate(parts_cells):
-        cells_of_part[p, :len(cs)] = cs
-        for k, c in enumerate(cs):
-            for j, g in enumerate(bd[c]):
-                local_dofmap[p, k, j] = local_of_global[(p, g)]
-
-    # send_slots: for part p, the owned slots matching part p+1's ghosts
-    send_slots = np.full((nparts, ghost_max), 0, np.int64)
-    for p in range(nparts - 1):
-        for i, g in enumerate(ghost_lists[p + 1]):
-            send_slots[p, i] = local_of_global[(p, g)]
+    send_left = np.zeros((nparts, gl_max), np.int64)
+    send_right = np.zeros((nparts, gr_max), np.int64)
+    ghostl_valid = np.zeros((nparts, gl_max), bool)
+    ghostr_valid = np.zeros((nparts, gr_max), bool)
+    for p in range(nparts):
+        ghostl_valid[p, :len(gl_lists[p])] = True
+        ghostr_valid[p, :len(gr_lists[p])] = True
+        if p + 1 < nparts:
+            for i, g in enumerate(gl_lists[p + 1]):
+                send_left[p, i] = lofg[(p, g)]
+        if p - 1 >= 0:
+            for i, g in enumerate(gr_lists[p - 1]):
+                send_right[p, i] = lofg[(p, g)]
 
     return SlabPartition(
-        nparts=nparts, cell_part=cell_part, cells_of_part=cells_of_part,
-        n_cells=np.array([len(c) for c in parts_cells], np.int32),
+        nparts=nparts, cell_part=cell_part,
         n_owned=np.array([len(o) for o in owned_lists], np.int32),
-        n_ghost=np.array([len(g) for g in ghost_lists], np.int32),
-        local_size=local_size, owned_max=owned_max, ghost_max=ghost_max,
-        global_of_local=global_of_local, local_dofmap=local_dofmap,
-        send_slots=send_slots, dof_owner=dof_owner)
+        owned_max=owned_max, gl_max=gl_max, gr_max=gr_max,
+        local_size=local_size, global_of_local=global_of_local,
+        send_left_slots=send_left, send_right_slots=send_right,
+        ghostl_valid=ghostl_valid, ghostr_valid=ghostr_valid,
+        dof_owner=dof_owner, local_of_global=lofg)
 
 
 class HaloOperator:
     """Distributed matrix-free operator + CG over slab-sharded dofs.
 
-    Element matrices are resharded per slab (padded); vectors live in the
-    local [owned | ghost] layout, (P, local_size) sharded over the mesh
-    axis. One apply = local einsum + segment-sum + one backward ppermute
-    (ghost-add) + one forward ppermute (ghost-refresh)."""
+    Element batches are regrouped per slab (entities live on the slab of
+    their first cell; the ghost layer guarantees all their dofs are
+    local). One apply = local einsum + scatter + ghost->owner adds
+    (2 ppermutes) + owner->ghost refresh (2 ppermutes)."""
 
     def __init__(self, form, domain, partition: SlabPartition, mesh: Mesh,
                  axis="cells"):
@@ -138,82 +148,44 @@ class HaloOperator:
         self.part = part
         self.mesh = mesh
         self.axis = axis
-        op = CutOperator(form, domain)  # element matrices on device
+        op = CutOperator(form, domain)
         if len(op.element_matrices) == 0:
             raise ValueError("empty operator")
-        # regroup every instance's element matrices by slab, padded, and
-        # convert global row/col dofs to local slots
-        mats_p, dofs_p = [], []
-        for Ae, rows in zip(op.element_matrices, op.row_dofs):
-            Ae = np.asarray(Ae)
-            rows = np.asarray(rows)
-            nd = rows.shape[1]
-            # entity -> slab via its first dof owner cell? use row cells:
-            # recover entity slab from the owning instance cells
-            mats_p.append((Ae, rows))
-        # build per-slab concatenated element lists on the host
+
         inst_cells = [np.asarray(inst.rows_cells)
                       for inst in form.instances]
-        emax_all = []
-        per_slab = [[] for _ in range(part.nparts)]
-        for (Ae, rows), cells in zip(mats_p, inst_cells):
-            cells0 = cells if cells.ndim == 1 else cells[:, 0]
-            slabs = part.cell_part[cells0]
-            for p in range(part.nparts):
-                sel = np.flatnonzero(slabs == p)
-                per_slab[p].append((Ae[sel], rows[sel]))
-        # per slab: concat across instances with per-instance nd padding to
-        # a common nd via block structure: keep instances separate
-        self.n_inst = len(mats_p)
-        self.slab_data = []
-        lofg = {}
-        for p in range(part.nparts):
-            for i in range(part.local_size):
-                g = part.global_of_local[p, i]
-                if g >= 0:
-                    lofg[(p, g)] = i
-        # validate: every instance's receiving dofs must live in the
-        # entity's assigned slab (interior-facet terms straddling a slab
-        # boundary need two-sided ghosting — round-2 work; use the psum
-        # operator for ghost-penalty forms meanwhile)
-        for (Ae, rows), cells in zip(mats_p, inst_cells):
-            cells0 = cells if cells.ndim == 1 else cells[:, 0]
-            slabs = part.cell_part[cells0]
-            for p in range(part.nparts):
-                sel = np.flatnonzero(slabs == p)
-                have = set(part.global_of_local[p][
-                    part.global_of_local[p] >= 0].tolist())
-                needed = set(np.unique(rows[sel]).tolist())
-                if not needed <= have:
-                    raise NotImplementedError(
-                        "HaloOperator: an integral couples dofs across "
-                        "non-neighbor slabs (e.g. ghost-penalty facets on "
-                        "slab boundaries); use the psum-sharded operator "
-                        "or fewer partitions")
-
+        lofg = part.local_of_global
         stacked = []
-        for i in range(self.n_inst):
-            emax = max(len(per_slab[p][i][0]) for p in range(part.nparts))
-            emax = max(emax, 1)
-            nd = mats_p[i][1].shape[1]
-            A = np.zeros((part.nparts, emax, nd, nd),
-                         dtype=np.asarray(mats_p[i][0]).dtype)
+        for (Ae, rows), cells in zip(
+                [(np.asarray(a), np.asarray(r))
+                 for a, r in zip(op.element_matrices, op.row_dofs)],
+                inst_cells):
+            cells0 = cells if cells.ndim == 1 else cells[:, 0]
+            slabs = part.cell_part[cells0]
+            nd = rows.shape[1]
+            emax = max(max((int((slabs == p).sum())
+                            for p in range(part.nparts)), default=0), 1)
+            A = np.zeros((part.nparts, emax, nd, nd), Ae.dtype)
             D = np.full((part.nparts, emax, nd), part.local_size - 1,
                         np.int64)
             for p in range(part.nparts):
-                Ae, rows = per_slab[p][i]
-                A[p, :len(Ae)] = Ae
-                for k in range(len(rows)):
+                sel = np.flatnonzero(slabs == p)
+                A[p, :len(sel)] = Ae[sel]
+                for k, e in enumerate(sel):
                     for j in range(nd):
-                        D[p, k, j] = lofg[(p, rows[k, j])]
+                        key = (p, rows[e, j])
+                        if key not in lofg:
+                            raise ValueError(
+                                "integral couples dofs outside the slab's "
+                                "ghost layer; use fewer partitions")
+                        D[p, k, j] = lofg[key]
             stacked.append((A, D))
         self.instances = stacked
 
-        # active mask + diagonal in local layout
         active = np.asarray(op.active) if op.active is not None else None
-        ga = np.zeros((part.nparts, part.local_size), bool)
         gol = part.global_of_local
         valid = gol >= 0
+        ga = np.zeros((part.nparts, part.local_size), bool)
         if active is not None:
             ga[valid] = active[gol[valid]]
         else:
@@ -222,30 +194,21 @@ class HaloOperator:
         self.owned_mask = np.zeros((part.nparts, part.local_size), bool)
         for p in range(part.nparts):
             self.owned_mask[p, :part.n_owned[p]] = True
-        self.ghost_valid = np.zeros((part.nparts, part.ghost_max), bool)
-        for p in range(part.nparts):
-            self.ghost_valid[p, :part.n_ghost[p]] = True
 
-        self._shard()
-
-    def _shard(self):
-        mesh, axis = self.mesh, self.axis
         sh = NamedSharding(mesh, P(axis))
-        put = lambda a: jax.device_put(jnp.asarray(a), sh)  # noqa: E731
-        self.d_instances = tuple(
-            (put(A), put(D)) for A, D in self.instances)
+        put = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
+        self.d_instances = tuple((put(A), put(D))
+                                 for A, D in self.instances)
         self.d_active = put(self.active_local)
         self.d_owned = put(self.owned_mask)
-        self.d_send = put(self.part.send_slots)
-        self.d_ghost_valid = put(self.ghost_valid)
-        self.owned_max = self.part.owned_max
-        self.ghost_max = self.part.ghost_max
-        self.local_size = self.part.local_size
+        self.d_send_l = put(part.send_left_slots)
+        self.d_send_r = put(part.send_right_slots)
+        self.d_gl_valid = put(part.ghostl_valid)
+        self.d_gr_valid = put(part.ghostr_valid)
 
     # -- vector layout helpers ----------------------------------------------
 
     def to_local(self, x_global):
-        """(ndofs,) -> sharded (P, local_size)."""
         gol = self.part.global_of_local
         out = np.zeros(gol.shape, np.asarray(x_global).dtype)
         valid = gol >= 0
@@ -261,37 +224,44 @@ class HaloOperator:
         out[gol[own]] = xl[own]
         return out
 
-    # -- distributed compute -------------------------------------------------
-
     def solve_cg(self, b_global, rtol=1e-8, maxiter=500):
         bl = self.to_local(np.asarray(b_global))
         x, it, res = _halo_cg(self, bl, rtol, maxiter)
         return self.to_global(x), int(it), float(res)
 
 
-def _apply_body(instances, active, owned, send, ghost_valid, owned_max,
-                ghost_max, axis, nparts, x):
-    """Per-shard operator application (runs inside shard_map; every array
-    has a leading length-1 shard axis)."""
+def _apply_body(op, instances, active, owned, send_l, send_r, gl_valid,
+                gr_valid, x):
+    """Per-shard operator application (inside shard_map; every array has a
+    leading length-1 shard axis)."""
+    part = op.part
+    axis = op.axis
+    nparts = part.nparts
+    om, gl, gr = part.owned_max, part.gl_max, part.gr_max
     x = x[0]
     xin = jnp.where(active[0], x, 0.0)
     y = jnp.zeros_like(x)
     for A, D in instances:
         Ae, dd = A[0], D[0]
-        xe = xin[dd]
-        ye = jnp.einsum("eij,ej->ei", Ae, xe)
+        ye = jnp.einsum("eij,ej->ei", Ae, xin[dd])
         y = y.at[dd.ravel()].add(ye.ravel())
-    # ghost -> owner add: each part sends its ghost partial sums to the
-    # left neighbor (their owner); parts with no right neighbor receive
-    # zeros from ppermute and add them at a dummy slot
-    ghost_part = jnp.where(ghost_valid[0], y[owned_max:], 0.0)
-    recv = jax.lax.ppermute(ghost_part, axis,
-                            [(p, p - 1) for p in range(1, nparts)])
-    y = y.at[send[0]].add(recv)
-    # owner -> ghost refresh: owners send the now-complete values right
-    out = jax.lax.ppermute(y[send[0]], axis,
-                           [(p, p + 1) for p in range(nparts - 1)])
-    y = y.at[owned_max:].set(jnp.where(ghost_valid[0], out, 0.0))
+    # ghost -> owner adds
+    gl_part = jnp.where(gl_valid[0], y[om:om + gl], 0.0)
+    recv_from_right = jax.lax.ppermute(
+        gl_part, axis, [(p, p - 1) for p in range(1, nparts)])
+    y = y.at[send_l[0]].add(recv_from_right)
+    gr_part = jnp.where(gr_valid[0], y[om + gl:om + gl + gr], 0.0)
+    recv_from_left = jax.lax.ppermute(
+        gr_part, axis, [(p, p + 1) for p in range(nparts - 1)])
+    y = y.at[send_r[0]].add(recv_from_left)
+    # owner -> ghost refresh
+    to_right = jax.lax.ppermute(
+        y[send_l[0]], axis, [(p, p + 1) for p in range(nparts - 1)])
+    y = y.at[om:om + gl].set(jnp.where(gl_valid[0], to_right, 0.0))
+    to_left = jax.lax.ppermute(
+        y[send_r[0]], axis, [(p, p - 1) for p in range(1, nparts)])
+    y = y.at[om + gl:om + gl + gr].set(
+        jnp.where(gr_valid[0], to_left, 0.0))
     y = jnp.where(active[0], y, x)
     return y[None]
 
@@ -299,29 +269,25 @@ def _apply_body(instances, active, owned, send, ghost_valid, owned_max,
 @partial(jax.jit, static_argnums=(0,))
 def _halo_cg(op: HaloOperator, b, rtol, maxiter):
     mesh, axis = op.mesh, op.axis
-    nparts = op.part.nparts
     spec = P(axis)
-
-    in_specs = tuple((spec, spec) for _ in op.d_instances)
 
     def apply_sharded(x):
         flat = []
         for A, D in op.d_instances:
             flat += [A, D]
+        n_extra = 7
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=tuple([spec] * len(flat)) + (spec, spec, spec,
-                                                       spec, spec),
+                 in_specs=tuple([spec] * (len(flat) + n_extra)),
                  out_specs=spec)
         def run(*args):
-            *flat_in, active, owned, send, gvalid, xx = args
+            *flat_in, active, owned, send_l, send_r, glv, grv, xx = args
             insts = [(flat_in[2 * i], flat_in[2 * i + 1])
                      for i in range(len(op.d_instances))]
-            return _apply_body(insts, active, owned, send, gvalid,
-                               op.owned_max, op.ghost_max, axis, nparts,
-                               xx)
-        return run(*flat, op.d_active, op.d_owned, op.d_send,
-                   op.d_ghost_valid, x)
+            return _apply_body(op, insts, active, owned, send_l, send_r,
+                               glv, grv, xx)
+        return run(*flat, op.d_active, op.d_owned, op.d_send_l,
+                   op.d_send_r, op.d_gl_valid, op.d_gr_valid, x)
 
     owned = op.d_owned
 
@@ -347,11 +313,7 @@ def _halo_cg(op: HaloOperator, b, rtol, maxiter):
         r = r - alpha * Ap
         rz_new = pdot(r, r)
         beta = rz_new / rz
-        p_new = r + beta * p_vec
-        # refresh ghosts of p_new via one apply-free exchange: reuse the
-        # linearity of the update (r and Ap already carry consistent
-        # ghosts, so p_new ghosts are consistent too)
-        return (x, r, p_new, rz_new, it + 1)
+        return (x, r, r + beta * p_vec, rz_new, it + 1)
 
     x, r, p_vec, rz, it = jax.lax.while_loop(
         cond, body, (x, r, p_vec, rz, 0))

@@ -9,15 +9,16 @@ import jax
 
 import cutfemx_tpu as cfx
 from cutfemx_tpu import fem
-from cutfemx_tpu.forms.dsl import (CellDiameter, SpatialCoordinate,
-                                   TestFunction, TrialFunction, dot, grad,
-                                   inner, pi, sin)
+from cutfemx_tpu.forms.dsl import (CellDiameter, FacetNormal,
+                                   SpatialCoordinate, TestFunction,
+                                   TrialFunction, avg, dot, grad, inner,
+                                   jump, pi, sin)
 from cutfemx_tpu.forms.measure import Measure
 from cutfemx_tpu.parallel import make_device_mesh
 from cutfemx_tpu.parallel.halo import HaloOperator, build_slab_partition
 
 
-def _cut_poisson_problem(n=24, degree=1):
+def _cut_poisson_problem(n=24, degree=1, ghost=False):
     mesh = cfx.mesh.create_rectangle((-1.0, -1.0), (1.0, 1.0), (n, n))
     Vphi = cfx.functionspace(mesh, ("Lagrange", 1))
     phi = cfx.Function(Vphi, name="phi")
@@ -39,6 +40,12 @@ def _cut_poisson_problem(n=24, degree=1):
     a = inner(grad(u), grad(v)) * dxo
     a += (-dot(grad(u), ng) * v - dot(grad(v), ng) * u
           + gamma / h * u * v) * dxg
+    if ghost:
+        gp = cfx.ghost_penalty_facets(cd, "phi<0")
+        dSg = Measure("dS", domain=mesh, subdomain_data=gp)
+        nf = FacetNormal(mesh)
+        a += 0.1 * avg(h) * inner(jump(grad(u), nf),
+                                  jump(grad(v), nf)) * dSg
     L = f * v * dxo + (-dot(grad(v), ng) * ue + gamma / h * ue * v) * dxg
     af, Lf = fem.form(a), fem.form(L)
     dom = fem.active_domain(af)
@@ -79,3 +86,20 @@ def test_halo_apply_matches_serial(ndev):
     err = np.abs(xs[mask] - xg[mask]).max()
     scale = np.abs(xs[mask]).max()
     assert err < 1e-8 * scale, (err, scale, its_s, its_h)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_halo_with_ghost_penalty(ndev):
+    """Two-sided ghost layers: distributed solves of ghost-penalty forms
+    (facet terms straddle slab boundaries) match the serial solve."""
+    V, af, dom, b = _cut_poisson_problem(ghost=True)
+    op = fem.CutOperator(af, dom)
+    part = build_slab_partition(V, ndev)
+    mesh = make_device_mesh(ndev)
+    hop = HaloOperator(af, dom, part, mesh)
+    xs, its_s, _ = op.solve_cg(b, rtol=1e-10, maxiter=400)
+    xg, its_h, res = hop.solve_cg(b, rtol=1e-10, maxiter=400)
+    xs = np.asarray(xs)
+    mask = dom.active_mask
+    err = np.abs(xs[mask] - xg[mask]).max()
+    assert err < 1e-8 * np.abs(xs[mask]).max(), (err, its_s, its_h)
