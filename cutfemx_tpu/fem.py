@@ -149,7 +149,49 @@ class CutForm:
             else:
                 facets = mesh.interior_facets if ents is None else ents
                 out.append(self._interior_facet_instance(itg, facets))
-        return [o for o in out if o is not None]
+        return [self._bucket_pad(o) for o in out if o is not None]
+
+    @staticmethod
+    def _bucket(n):
+        """Round entity counts up to stable buckets so re-cut steps with
+        slightly different cut-cell counts reuse compiled kernels (TPU
+        compiles are expensive; zero-mask padding is exact)."""
+        if n <= 32:
+            step = 8
+        elif n <= 512:
+            step = 64
+        elif n <= 16384:
+            step = 1024
+        else:
+            step = 16384
+        return ((n + step - 1) // step) * step
+
+    def _bucket_pad(self, inst):
+        E = inst.rows_cells.shape[0]
+        target = self._bucket(E)
+        data = dict(inst.data)
+        mask = jnp.zeros(target, self.dtype).at[:E].set(1.0)
+        if target != E:
+            pad = target - E
+
+            def padded(a):
+                reps = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+                return jnp.concatenate([a, reps], axis=0)
+
+            for key in ("coords", "h", "points", "weights",
+                        "local_facet"):
+                if key in data:
+                    data[key] = padded(data[key])
+            for key in ("coeffs", "qfields"):
+                if key in data:
+                    data[key] = tuple(padded(a) for a in data[key])
+            inst.rows_cells = np.concatenate(
+                [inst.rows_cells,
+                 np.broadcast_to(inst.rows_cells[:1],
+                                 (pad,) + inst.rows_cells.shape[1:])])
+        data["mask"] = mask
+        inst.data = data
+        return inst
 
     def _coeff_arrays(self, coefficients, cells):
         """Gather coefficient dofs: tuple of (E, nd*bs) arrays."""

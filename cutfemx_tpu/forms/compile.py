@@ -382,11 +382,14 @@ class IntegralKernel:
         return sides
 
     def _weights(self, ctx, data, dtype):
+        mask = data.get("mask")
         if self.runtime:
-            return data["weights"]
+            w = data["weights"]
+            return w if mask is None else w * mask
         if self.itype == "cell":
             w = jnp.asarray(self.ref_weights, dtype=dtype)
-            return w * ctx.detJ(None)
+            w = w * ctx.detJ(None)
+            return w if mask is None else w * mask
         # standard facet rule: reference facet weights * surface measure
         w = jnp.asarray(self.ref_weights, dtype=dtype)
         cell = reference_cell(self.cell_type)
@@ -400,7 +403,8 @@ class IntegralKernel:
         fv = jnp.asarray(self.fverts_table, dtype=dtype)[s["local_facet"]]
         T = jnp.einsum("qvf,vt->qtf", dphi, fv)       # (Q, tdim, fdim)
         Jf = jnp.einsum("qgt,qtf->qgf", ctx.J("+"), T)
-        return w * gram_det(Jf)
+        w = w * gram_det(Jf)
+        return w if mask is None else w * mask
 
     def _entity_scalar(self, data, arg_vectors, dtype):
         sides = self._make_sides(data, dtype)
