@@ -132,7 +132,7 @@ def test_bucketed_batches_are_shape_stable():
     phi = cfx.Function(Vphi, name="phi")
     V = cfx.functionspace(mesh, ("Lagrange", 1))
     shapes = []
-    for cx in (0.0, 0.033):
+    for cx in (0.0, 0.004):
         phi.interpolate(lambda x: np.sqrt((x[0] - cx) ** 2 + x[1] ** 2)
                         - r)
         cd = cfx.cut(phi)
