@@ -30,7 +30,9 @@ __all__ = [
     "zero_block_rows", "create_matrix", "create_sparsity_pattern",
     "insert_diagonal", "CutOperator", "cut_function", "DirichletBC",
     "dirichletbc", "locate_dofs_geometrical", "locate_dofs_topological",
-    "apply_lifting", "set_bc",
+    "apply_lifting", "set_bc", "assemble_matrix_block",
+    "assemble_vector_block", "block_offsets", "derivative",
+    "newton_solve",
 ]
 
 
@@ -602,6 +604,54 @@ def assemble_matrix(f: CutForm, bcs=None, extension_terms=None):
             m = (m + d).tocsr()
         A._m = m
     return A
+
+
+def assemble_matrix_block(a_blocks, spaces=None):
+    """Assemble a nested block layout [[CutForm|None]] into one monolithic
+    CSR (the role of the reference's PETSc nest-matrix path,
+    petsc.py:330-344). ``spaces`` gives the per-block spaces when a whole
+    row/column is None."""
+    import scipy.sparse as sps
+    nrows = len(a_blocks)
+    ncols = len(a_blocks[0])
+    if spaces is None:
+        spaces = [None] * nrows
+        for i, row in enumerate(a_blocks):
+            for blk in row:
+                if blk is not None:
+                    spaces[i] = blk.test_space
+                    break
+    dims = [sp.dim for sp in spaces]
+    grid = []
+    for i, row in enumerate(a_blocks):
+        out_row = []
+        for j, blk in enumerate(row):
+            if blk is None:
+                out_row.append(sps.csr_matrix((dims[i], dims[j])))
+            elif isinstance(blk, MatrixCSR):
+                out_row.append(blk.to_scipy().tocsr())
+            else:
+                out_row.append(assemble_matrix(blk).to_scipy().tocsr())
+        grid.append(out_row)
+    return MatrixCSR(sps.bmat(grid, format="csr"))
+
+
+def assemble_vector_block(L_blocks, spaces):
+    """Assemble rank-1 blocks (None -> zeros) into one concatenated
+    vector."""
+    out = []
+    for blk, sp in zip(L_blocks, spaces):
+        if blk is None:
+            out.append(np.zeros(sp.dim))
+        else:
+            out.append(np.array(assemble_vector(blk)))
+    return np.concatenate(out)
+
+
+def block_offsets(spaces):
+    """Cumulative dof offsets of a block layout."""
+    dims = [0] + [sp.dim for sp in spaces]
+    return np.cumsum(dims)
 
 
 def create_sparsity_pattern(f: CutForm, extension_terms=None):

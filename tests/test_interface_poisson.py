@@ -136,3 +136,30 @@ def test_interface_poisson_convergence():
     assert np.log2(e1c / e1f) > 1.5
     assert np.log2(e2c / e2f) > 1.5
     assert jf < 2e-2  # interface jump controlled
+
+
+def test_block_assembly_helpers():
+    """assemble_matrix_block / assemble_vector_block match the manual
+    scipy bmat composition used in the demos."""
+    import cutfemx_tpu as cfx
+    from cutfemx_tpu.forms.dsl import (MixedFunctionSpace, TestFunctions,
+                                       TrialFunctions, div)
+    from cutfemx_tpu.forms.measure import dx
+    mesh = cfx.mesh.create_unit_square(4)
+    V = cfx.functionspace(mesh, ("Lagrange", 2), shape=(2,))
+    Q = cfx.functionspace(mesh, ("Lagrange", 1))
+    W = MixedFunctionSpace(V, Q)
+    u, p = TrialFunctions(W)
+    v, q = TestFunctions(W)
+    a = (inner(grad(u), grad(v)) - p * div(v) + div(u) * q) * dx
+    ab = fem.extract_blocks(a)
+    A = fem.assemble_matrix_block(ab, spaces=[V, Q])
+    assert A.shape == (V.dim + Q.dim, V.dim + Q.dim)
+    from scipy.sparse import bmat, csr_matrix
+    manual = bmat([[fem.assemble_matrix(b).to_scipy() if b is not None
+                    else csr_matrix((s1.dim, s2.dim))
+                    for b, s2 in zip(row, (V, Q))]
+                   for row, s1 in zip(ab, (V, Q))]).tocsr()
+    assert abs(A.to_scipy() - manual).max() < 1e-14
+    offs = fem.block_offsets([V, Q])
+    assert offs[-1] == V.dim + Q.dim
