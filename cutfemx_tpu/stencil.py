@@ -1,0 +1,305 @@
+"""Structured-stencil operator: the speed-of-light apply for the uncut
+interior.
+
+On create_box/create_rectangle backgrounds the P1/P2 operator is
+translation-invariant away from the cut: instead of gather/scatter over
+element batches, the interior apply becomes
+
+    shift-gather -> masked per-cube local matmul -> shift-scatter
+
+— all dense slicing and one batched (cells, L, L) contraction, no index
+gathers at all. Only cubes whose sub-simplices are all in the standard
+(uncut inside) instance use the stencil; every other contribution (cut
+cells, interface, ghost penalty, leftover boundary simplices) flows
+through the usual element-batch path. The composition is exact.
+
+Channel layout per cube at lattice origin o (P2 Freudenthal tets):
+  ch0 vertex at o; ch1-3 axis edges o->o+e_i; ch4-6 face diagonals
+  o->o+e_i+e_j (the min->max Freudenthal diagonals); ch7 body diagonal.
+P1 uses ch0 only. Local cube dofs: 8 vertices + 19 edges = 27 (P2) or
+8 (P1), each addressed as (channel, corner offset).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .mg import structured_lattice_info
+
+__all__ = ["StencilCutOperator"]
+
+_EDGE_CLASS = {
+    (1, 0, 0): 1, (0, 1, 0): 2, (0, 0, 1): 3,
+    (1, 1, 0): 4, (1, 0, 1): 5, (0, 1, 1): 6, (1, 1, 1): 7,
+}
+
+
+def _local_dof_table(degree):
+    """[(channel, (dx,dy,dz))] for the cube-local dofs, fixed order."""
+    corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
+               for dz in (0, 1)]
+    table = [(0, c) for c in corners]
+    if degree == 2:
+        # 12 axis edges: canonical origin = min corner of the edge
+        for delta, ch in _EDGE_CLASS.items():
+            if sum(delta) == 1:
+                ax = delta.index(1)
+                for c in corners:
+                    if c[ax] == 0:
+                        table.append((ch, c))
+        # 6 face diagonals: origin = face min corner
+        for delta, ch in _EDGE_CLASS.items():
+            if sum(delta) == 2:
+                free = [a for a in range(3) if delta[a] == 0][0]
+                for v in (0, 1):
+                    c = [0, 0, 0]
+                    c[free] = v
+                    table.append((ch, tuple(c)))
+        # body diagonal
+        table.append((7, (0, 0, 0)))
+    return table
+
+
+class StencilCutOperator:
+    """Matrix-free operator with a structured-stencil interior.
+
+    Supports scalar P1/P2 spaces on 3D create_box tet meshes. The first
+    standard cell instance of the form becomes the stencil; everything
+    else (runtime/interface/facet instances plus standard simplices in
+    partially-covered cubes) goes through the element path.
+    """
+
+    def __init__(self, form, domain=None):
+        from .fem import CutOperator
+        V = form.test_space
+        mesh = V.mesh
+        if mesh.cell_type != "tetrahedron" or V.bs != 1 or \
+                V.degree not in (1, 2):
+            raise NotImplementedError(
+                "StencilCutOperator supports scalar P1/P2 on 3D tet "
+                "backgrounds")
+        info = structured_lattice_info(mesh)
+        if info is None:
+            raise ValueError("structured background required")
+        lo, n_axes, h_axes = info
+        if not (n_axes == n_axes[0]).all():
+            raise NotImplementedError("cubic lattice required")
+        self.n = int(n_axes[0])
+        n = self.n
+        self.degree = V.degree
+        self.dim = V.dim
+        self.form = form
+
+        # cube of each cell: create_box emits 6 tets per cube in order
+        cube_of_cell = np.arange(mesh.num_cells) // 6
+
+        # find the standard cell instance with the largest batch
+        std_idx = None
+        for i, inst in enumerate(form.instances):
+            if inst.itype == "cell" and not inst.runtime:
+                if std_idx is None or len(inst.entities) > len(
+                        form.instances[std_idx].entities):
+                    std_idx = i
+        if std_idx is None:
+            raise ValueError("form has no standard cell instance")
+        std = form.instances[std_idx]
+        if std.kernel.coefficients:
+            raise NotImplementedError(
+                "stencil interior requires a coefficient-free standard "
+                "integrand (spatially varying coefficients break "
+                "translation invariance)")
+        mask_valid = np.asarray(std.data["mask"]) > 0
+        std_cells = np.asarray(std.rows_cells)[mask_valid]
+
+        # cubes fully covered by the standard instance
+        count = np.zeros(n ** 3, np.int64)
+        np.add.at(count, cube_of_cell[std_cells], 1)
+        # guard against duplicate cells (padding repeats row 0 — filtered
+        # by mask; buckets keep uniqueness)
+        full_cubes = count == 6
+        self.cube_mask = full_cubes.reshape(n, n, n)
+        self.cube_mask_j = jnp.asarray(self.cube_mask)
+        in_full = full_cubes[cube_of_cell[std_cells]]
+        leftover_cells = std_cells[~in_full]
+
+        # local cube matrix from the instance's own kernel on one
+        # interior cube (uniform geometry; form-generic)
+        table = _local_dof_table(self.degree)
+        self.table = table
+        L = len(table)
+        probe_cube = self._an_interior_cube(full_cubes, n)
+        probe_cells = probe_cube * 6 + np.arange(6)
+        kernel = std.kernel
+        probe_data = self._subset_data(form, std, probe_cells)
+        Ae6 = np.asarray(kernel.assemble_matrix(probe_data, form.dtype,
+                                                form.block))
+        A_local = np.zeros((L, L))
+        slot = self._dof_slot_map(V, mesh, lo, h_axes, probe_cube, n)
+        bd = V.blocked_dofmap
+        for t in range(6):
+            dofs = bd[probe_cells[t]]
+            ls = [slot[d] for d in dofs]
+            for a_, la in enumerate(ls):
+                for b_, lb in enumerate(ls):
+                    A_local[la, lb] += Ae6[t, a_, b_]
+        self.A_local = jnp.asarray(A_local, form.dtype)
+
+        # dof -> (channel, lattice coords) grids
+        self._build_grid_maps(V, mesh, lo, h_axes)
+
+        # element path: all other instances + leftover standard cells
+        op_rest = CutOperator(form, domain)
+        mats, rows = [], []
+        for i, inst in enumerate(form.instances):
+            Ae = np.asarray(op_rest.element_matrices[i])
+            rr = np.asarray(op_rest.row_dofs[i])
+            if i == std_idx:
+                keep = np.isin(np.asarray(inst.rows_cells),
+                               leftover_cells)
+                keep &= np.asarray(inst.data["mask"]) > 0
+                if keep.any():
+                    mats.append(jnp.asarray(Ae[keep]))
+                    rows.append(jnp.asarray(rr[keep]))
+            else:
+                mats.append(jnp.asarray(Ae))
+                rows.append(jnp.asarray(rr))
+        self.rest_mats = tuple(mats)
+        self.rest_rows = tuple(rows)
+        flat = np.concatenate([np.asarray(r).ravel() for r in rows]) if \
+            rows else np.zeros(0, np.int64)
+        perm = np.argsort(flat, kind="stable")
+        self._perm = jnp.asarray(perm.astype(np.int32))
+        self._sorted = jnp.asarray(flat[perm].astype(np.int32))
+
+        self.active = (jnp.asarray(domain.active_mask)
+                       if domain is not None else None)
+
+    # -- setup helpers -------------------------------------------------------
+
+    @staticmethod
+    def _an_interior_cube(full_cubes, n):
+        idx = np.flatnonzero(full_cubes)
+        if len(idx) == 0:
+            raise ValueError("no fully-standard cube found")
+        # prefer a cube away from the lattice boundary
+        for c in idx:
+            i, j, k = c // (n * n), (c // n) % n, c % n
+            if 0 < i < n - 1 and 0 < j < n - 1 and 0 < k < n - 1:
+                return int(c)
+        return int(idx[0])
+
+    def _subset_data(self, form, inst, cells):
+        """Kernel data for specific cells (uniform interior probes)."""
+        mesh = form.mesh
+        return dict(
+            coords=jnp.asarray(mesh.cell_vertex_coords[cells],
+                               form.dtype),
+            h=jnp.asarray(mesh.cell_diameters()[cells], form.dtype),
+            coeffs=(),
+            mask=jnp.ones(len(cells), form.dtype),
+        )
+
+    def _dof_slot_map(self, V, mesh, lo, h_axes, cube, n):
+        """dof -> local slot index for one cube."""
+        ci, cj, ck = cube // (n * n), (cube // n) % n, cube % n
+        origin = np.array([ci, cj, ck])
+        lat = np.round((mesh.vertices - lo) / h_axes).astype(np.int64)
+        slot_of = {}
+        for s, (ch, off) in enumerate(self.table if hasattr(
+                self, "table") else _local_dof_table(self.degree)):
+            target = origin + np.array(off)
+            if ch == 0:
+                vid = ((target[0] * (n + 1) + target[1]) * (n + 1)
+                       + target[2])
+                slot_of[vid] = s
+            else:
+                delta = [k for k, v in _EDGE_CLASS.items() if v == ch][0]
+                a = target
+                b = target + np.array(delta)
+                va = ((a[0] * (n + 1) + a[1]) * (n + 1) + a[2])
+                vb = ((b[0] * (n + 1) + b[1]) * (n + 1) + b[2])
+                key = np.sort([va, vb])
+                eidx = np.flatnonzero(
+                    (mesh.edges[:, 0] == key[0])
+                    & (mesh.edges[:, 1] == key[1]))[0]
+                slot_of[mesh.num_vertices + eidx] = s
+        return slot_of
+
+    def _build_grid_maps(self, V, mesh, lo, h_axes):
+        """Scatter/gather maps between the dof vector and the channel
+        grids X (nch, N, N, N) with N = n+1."""
+        n = self.n
+        N = n + 1
+        nch = 8 if self.degree == 2 else 1
+        lat = np.round((mesh.vertices - lo) / h_axes).astype(np.int64)
+        grid_index = np.full((nch, N, N, N), -1, np.int64)
+        # vertices -> ch0
+        grid_index[0, lat[:, 0], lat[:, 1], lat[:, 2]] = np.arange(
+            mesh.num_vertices)
+        if self.degree == 2:
+            e = mesh.edges
+            la, lb = lat[e[:, 0]], lat[e[:, 1]]
+            origin = np.minimum(la, lb)
+            delta = np.abs(lb - la)
+            ch = np.array([_EDGE_CLASS[tuple(d)] for d in delta])
+            grid_index[ch, origin[:, 0], origin[:, 1], origin[:, 2]] = \
+                mesh.num_vertices + np.arange(len(e))
+        self.grid_index = grid_index
+        valid = grid_index >= 0
+        self.grid_valid = jnp.asarray(valid)
+        self.grid_gather = jnp.asarray(np.where(valid, grid_index, 0)
+                                       .astype(np.int32))
+        # inverse: dof -> (ch, i, j, k) flat position in the grid
+        flatpos = np.full(V.dim, 0, np.int64)
+        pos = np.argwhere(valid)
+        flat_ids = grid_index[valid]
+        lin = ((pos[:, 0] * N + pos[:, 1]) * N + pos[:, 2]) * N + pos[:, 3]
+        flatpos[flat_ids] = lin
+        self.dof_to_grid = jnp.asarray(flatpos.astype(np.int32))
+        self.N = N
+
+    # -- apply ---------------------------------------------------------------
+
+    def __call__(self, x):
+        return _stencil_apply(self, x)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stencil_apply(op: StencilCutOperator, x):
+    xin = jnp.where(op.active, x, 0.0) if op.active is not None else x
+    n, N = op.n, op.N
+    nch = 8 if op.degree == 2 else 1
+    # dof vector -> channel grids
+    X = jnp.where(op.grid_valid, xin[op.grid_gather], 0.0)  # (nch,N,N,N)
+    # gather cube-local vectors by shifts
+    parts = []
+    for (ch, (dx, dy, dz)) in op.table:
+        parts.append(X[ch, dx:dx + n, dy:dy + n, dz:dz + n])
+    xc = jnp.stack(parts, axis=-1)                  # (n, n, n, L)
+    yc = jnp.einsum("xyzl,lm->xyzm", xc, op.A_local)
+    yc = jnp.where(op.cube_mask_j[..., None], yc, 0.0)
+    # scatter back by transpose shifts
+    Y = jnp.zeros_like(X)
+    for s, (ch, (dx, dy, dz)) in enumerate(op.table):
+        Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(yc[..., s])
+    y = jnp.zeros_like(xin)
+    flatY = Y.reshape(-1)
+    y = flatY[op.dof_to_grid]
+    # element-path remainder
+    if op.rest_mats:
+        parts2 = []
+        for Ae, rr in zip(op.rest_mats, op.rest_rows):
+            xe = xin[rr]
+            parts2.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
+        flat = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
+        y = y + jax.ops.segment_sum(flat[op._perm], op._sorted,
+                                    num_segments=op.dim,
+                                    indices_are_sorted=True)
+    if op.active is not None:
+        y = jnp.where(op.active, y, x)
+    return y
