@@ -268,6 +268,41 @@ class StencilCutOperator:
     def __call__(self, x):
         return _stencil_apply(self, x)
 
+    def diagonal(self):
+        """Assembled diagonal (stencil + element parts)."""
+        L = len(self.table)
+        n, N = self.n, self.N
+        dloc = jnp.diagonal(self.A_local)
+        Y = jnp.zeros((8 if self.degree == 2 else 1, N, N, N),
+                      self.A_local.dtype)
+        for s, (ch, (dx, dy, dz)) in enumerate(self.table):
+            Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(
+                jnp.where(self.cube_mask_j, dloc[s], 0.0))
+        d = Y.reshape(-1)[self.dof_to_grid]
+        for Ae, rr in zip(self.rest_mats, self.rest_rows):
+            # interior-facet elements repeat shared facet dofs on both
+            # sides: sum every (i, j) entry whose row and column map to
+            # the same global dof
+            eq = rr[:, :, None] == rr[:, None, :]
+            contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
+            d = d.at[rr.ravel()].add(contrib.ravel())
+        if self.active is not None:
+            d = jnp.where(self.active, d, 1.0)
+        return d
+
+    def solve_cg(self, b, rtol=1e-8, maxiter=500):
+        """Fully-jitted Jacobi-preconditioned CG on the stencil operator."""
+        return _stencil_cg(self, jnp.asarray(b), rtol, maxiter)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stencil_cg(op: StencilCutOperator, b, rtol, maxiter):
+    from .la import cg
+    bb = jnp.where(op.active, b, 0.0) if op.active is not None else b
+    d = op.diagonal()
+    return cg(lambda x: _stencil_apply(op, x), bb, M=lambda r: r / d,
+              rtol=rtol, maxiter=maxiter)
+
 
 @partial(jax.jit, static_argnums=(0,))
 def _stencil_apply(op: StencilCutOperator, x):

@@ -1,0 +1,76 @@
+"""Structured-stencil interior operator: exact agreement with the
+element-batched apply and solve on the bench problem family."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import cutfemx_tpu as cfx
+from cutfemx_tpu import fem
+from cutfemx_tpu.forms.dsl import (CellDiameter, FacetNormal,
+                                   SpatialCoordinate, TestFunction,
+                                   TrialFunction, avg, dot, grad, inner,
+                                   jump, pi, sin)
+from cutfemx_tpu.forms.measure import Measure
+from cutfemx_tpu.stencil import StencilCutOperator
+
+
+def _problem(n, deg):
+    mesh = cfx.mesh.create_box((-1, -1, -1), (1, 1, 1), (n, n, n))
+    Vphi = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(Vphi, name="phi")
+    phi.interpolate(lambda x: np.sqrt(x[0]**2 + x[1]**2 + x[2]**2) - 0.6)
+    cd = cfx.cut(phi)
+    inside = cfx.locate_entities(cd, "phi<0")
+    vol = cfx.runtime_quadrature(cd, "phi<0", 2 * deg)
+    srf = cfx.runtime_quadrature(cd, "phi=0", 2 * deg)
+    gp = cfx.ghost_penalty_facets(cd, "phi<0")
+    dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
+    dxg = Measure("dx", domain=mesh, subdomain_data=srf)
+    dSg = Measure("dS", domain=mesh, subdomain_data=gp)
+    V = cfx.functionspace(mesh, ("Lagrange", deg))
+    u, v = TrialFunction(V), TestFunction(V)
+    x = SpatialCoordinate(mesh)
+    ng = cfx.normal(phi)
+    nf = FacetNormal(mesh)
+    h = CellDiameter(mesh)
+    ue = sin(pi * x[0]) * sin(pi * x[1]) * sin(pi * x[2])
+    f = 3 * pi ** 2 * ue
+    a = inner(grad(u), grad(v)) * dxo
+    a += (-dot(grad(u), ng) * v - dot(grad(v), ng) * u
+          + 40.0 / h * u * v) * dxg
+    a += 0.1 * avg(h) * inner(jump(grad(u), nf),
+                              jump(grad(v), nf)) * dSg
+    L = f * v * dxo + (-dot(grad(v), ng) * ue + 40.0 / h * ue * v) * dxg
+    af, Lf = fem.form(a), fem.form(L)
+    dom = fem.active_domain(af)
+    b = fem.assemble_vector(Lf)
+    return V, af, dom, b
+
+
+@pytest.mark.parametrize("deg", [1, 2])
+def test_stencil_matches_element_apply(deg):
+    V, af, dom, b = _problem(10, deg)
+    op0 = fem.CutOperator(af, dom)
+    op1 = StencilCutOperator(af, dom)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal(V.dim))
+        y0 = np.asarray(op0(x))
+        y1 = np.asarray(op1(x))
+        assert np.abs(y0 - y1).max() < 1e-12 * max(np.abs(y0).max(), 1)
+    d0 = np.asarray(op0.diagonal())
+    d1 = np.asarray(op1.diagonal())
+    assert np.abs(d0 - d1).max() < 1e-12 * np.abs(d0).max()
+
+
+def test_stencil_solve_matches():
+    V, af, dom, b = _problem(10, 2)
+    op0 = fem.CutOperator(af, dom)
+    op1 = StencilCutOperator(af, dom)
+    x0, it0, _ = op0.solve_cg(b, rtol=1e-9, maxiter=2000)
+    x1, it1, _ = op1.solve_cg(b, rtol=1e-9, maxiter=2000)
+    mask = dom.active_mask
+    err = np.abs(np.asarray(x0) - np.asarray(x1))[mask].max()
+    assert err < 1e-6 * np.abs(np.asarray(x0)[mask]).max()
