@@ -91,7 +91,11 @@ def main():
                                          maxiter=iters, nu=2)
             jax.block_until_ready(x)
             return x, its, res, t_mid
-        op = fem.CutOperator(af, dom)
+        if solver == "stencil":
+            from cutfemx_tpu.stencil import StencilCutOperator
+            op = StencilCutOperator(af, dom)
+        else:
+            op = fem.CutOperator(af, dom)
         t_mid = time.perf_counter()
         x, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters)
         x.block_until_ready()
