@@ -1,6 +1,7 @@
 """Pure-device apply timing: run K applies inside one jitted fori_loop so
-import sys; sys.path.insert(0, "/root/repo")
 tunnel dispatch overhead is excluded. All data passed as jit args."""
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 import numpy as np
 import jax
