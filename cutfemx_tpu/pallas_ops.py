@@ -106,6 +106,9 @@ def banded_ell_spmv(ell, x, interpret=False):
 
     from jax.experimental.pallas import tpu as pltpu  # noqa: F811
 
+    ell_n = int(ell["data"].shape[2])
+    wsp = ws + 128
+
     def kernel(win_ref, data_ref, colrel_ref, x_hbm, y_ref):
         b = pl.program_id(0)
         w = win_ref[b]
@@ -114,15 +117,23 @@ def banded_ell_spmv(ell, x, interpret=False):
 
         def body(xwin, sem):
             dma = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, ws + 128)], xwin, sem)
+                x_hbm.at[pl.ds(start, wsp)], xwin, sem)
             dma.start()
             dma.wait()
             d = data_ref[0]                       # (br, ell)
             c = colrel_ref[0] + off               # window-relative
-            vals = xwin[c]
-            y_ref[0, :] = jnp.sum(d * vals, axis=1)
+            # TPU has no VMEM vector gather: select each slot's value by
+            # a one-hot compare-reduce over the window (VPU work)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (br, wsp), 1)
+            xb = xwin[:].reshape(1, wsp)
+            acc = jnp.zeros((br,), d.dtype)
+            for s in range(ell_n):
+                mask = iota == c[:, s][:, None]
+                vals = jnp.sum(jnp.where(mask, xb, 0.0), axis=1)
+                acc = acc + d[:, s] * vals
+            y_ref[:] = acc
 
-        pl.run_scoped(body, pltpu.VMEM((ws + 128,), x.dtype),
+        pl.run_scoped(body, pltpu.VMEM((wsp,), x.dtype),
                       pltpu.SemaphoreType.DMA)
 
     out = pl.pallas_call(
@@ -139,12 +150,12 @@ def banded_ell_spmv(ell, x, interpret=False):
                              memory_space=vmem),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, br), lambda b, win: (b, 0),
+            out_specs=pl.BlockSpec((br,), lambda b, win: (b,),
                                    memory_space=vmem),
         ),
-        out_shape=jax.ShapeDtypeStruct((nblocks, br), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nblocks * br,), x.dtype),
     )(win_host, ell["data"], ell["colrel"], xpad)
-    return out.reshape(-1)[:n]
+    return out[:n]
 
 
 class BandedEllOperator:
