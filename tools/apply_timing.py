@@ -57,7 +57,7 @@ def loop_apply(K, mats, rows_sorted, perm, cols, active, x):
 x = jnp.asarray(np.random.default_rng(0).standard_normal(V.dim),
                 jnp.float32)
 mats = tuple(m.astype(jnp.float32) for m in op._mats)
-args = (mats, op._sorted, op._perm, op._cols, op.active, x)
+args = (mats, op._sorted_rows, op._perm, op._cols, op.active, x)
 y = loop_apply(10, *args); jax.block_until_ready(y)
 t0 = time.perf_counter()
 y = loop_apply(200, *args); jax.block_until_ready(y)
