@@ -51,15 +51,16 @@ def loop_apply(K, mats, rows_sorted, perm, cols, active, x):
         y = jax.ops.segment_sum(flat[perm], rows_sorted,
                                 num_segments=xx.shape[0],
                                 indices_are_sorted=True)
-        return jnp.where(active, y, xx) / (1.0 + jnp.max(jnp.abs(y)))
+        return jnp.where(active, y, xx) * 0.5
     return jax.lax.fori_loop(0, K, body, x)
 
 x = jnp.asarray(np.random.default_rng(0).standard_normal(V.dim),
                 jnp.float32)
 mats = tuple(m.astype(jnp.float32) for m in op._mats)
 args = (mats, op._sorted_rows, op._perm, op._cols, op.active, x)
-y = loop_apply(10, *args); jax.block_until_ready(y)
+# warm up the SAME K so the timed call reuses the compiled program
+y = loop_apply(200, *args); jax.block_until_ready(y)
 t0 = time.perf_counter()
 y = loop_apply(200, *args); jax.block_until_ready(y)
 dt = (time.perf_counter() - t0) / 200
-print(f"per-apply (incl. norm) device time: {dt*1e3:.3f} ms", flush=True)
+print(f"per-apply device time: {dt*1e3:.3f} ms", flush=True)
