@@ -2,7 +2,9 @@
 
 Replaces the dolfinx.mesh.refine role the reference's adaptation loop uses
 (/root/reference/python/cutfemx/distance.py:243-264): red-green marked-edge
-refinement for triangle meshes, uniform (Bey) refinement for tetrahedra.
+refinement for triangle meshes, marked-edge bisection (longest-edge
+closure) for local tet refinement, uniform (Bey) refinement for
+tetrahedra.
 """
 
 from __future__ import annotations
@@ -35,9 +37,7 @@ def refine_marked(mesh: Mesh, marked_edges) -> Mesh:
     if mesh.cell_type == CellType.triangle:
         return _refine_tri(mesh, marked_edges)
     if mesh.cell_type == CellType.tetrahedron:
-        # v1: local tet refinement falls back to uniform (documented
-        # limitation; the reference delegates to DOLFINx Plaza refinement)
-        return _refine_tet_uniform(mesh)
+        return _refine_tet_marked(mesh, marked_edges)
     raise NotImplementedError(
         f"refinement of {mesh.cell_type} meshes is not supported")
 
@@ -90,6 +90,84 @@ def _refine_tri(mesh: Mesh, marked_edges) -> Mesh:
     if keep.any():
         cells_out.append(c[keep])
     return Mesh(verts, np.concatenate(cells_out), CellType.triangle)
+
+
+def _refine_tet_marked(mesh: Mesh, marked_edges) -> Mesh:
+    """Local tet refinement by marked-edge bisection with longest-edge
+    closure (the role of DOLFINx Plaza refinement consumed by the
+    reference's adaptation loop, distance.py:243-264).
+
+    Closure: every cell touching a marked edge also marks its longest
+    edge, iterated to a fixpoint (monotone, terminates). Each cell is
+    then recursively bisected by its highest-priority marked ORIGINAL
+    edge, where priority = (length, edge key) is a GLOBAL order: two
+    cells sharing a face therefore split the face's edges in the same
+    relative order and produce the same face triangulation, so the
+    result is conforming. Children inherit only original edges (the
+    sub-edges of a bisected edge are new and unmarked), so recursion
+    depth is at most 6.
+    """
+    ev = mesh.edges                               # (NE, 2), a < b
+    ne = mesh.num_edges
+    marked = np.zeros(ne, bool)
+    marked[np.asarray(marked_edges, np.int64)] = True
+    ce = mesh.cell_edges                          # (NC, 6)
+    el = np.linalg.norm(mesh.vertices[ev[:, 1]] - mesh.vertices[ev[:, 0]],
+                        axis=1)
+    while True:
+        has = marked[ce].any(axis=1)
+        longest = ce[np.arange(len(ce)), np.argmax(el[ce], axis=1)]
+        need = has & ~marked[longest]
+        if not need.any():
+            break
+        marked[longest[need]] = True
+
+    midx = np.flatnonzero(marked)
+    mid_vid = mesh.num_vertices + np.arange(len(midx))
+    verts = np.concatenate([mesh.vertices, _edge_midpoints(mesh, midx)])
+    # (a, b) -> (midpoint vid, priority); priority orders longest first,
+    # ties broken by the (global) vertex-pair key
+    info = {}
+    for e, m in zip(midx, mid_vid):
+        a, b = int(ev[e, 0]), int(ev[e, 1])
+        info[(a, b)] = (int(m), (float(el[e]), -a, -b))
+
+    out = []
+
+    def bisect(t):
+        best = None
+        for i in range(4):
+            for j in range(i + 1, 4):
+                a, b = t[i], t[j]
+                k = (a, b) if a < b else (b, a)
+                hit = info.get(k)
+                if hit is not None and (best is None or hit[1] > best[0]):
+                    best = (hit[1], i, j, hit[0])
+        if best is None:
+            out.append(t)
+            return
+        _, i, j, m = best
+        t1 = list(t)
+        t1[i] = m
+        t2 = list(t)
+        t2[j] = m
+        bisect(tuple(t1))
+        bisect(tuple(t2))
+
+    has = marked[ce].any(axis=1)
+    for t in mesh.cells[~has]:
+        out.append((int(t[0]), int(t[1]), int(t[2]), int(t[3])))
+    for t in mesh.cells[has]:
+        bisect((int(t[0]), int(t[1]), int(t[2]), int(t[3])))
+    cells = np.asarray(out, np.int64)
+    # orient children positively (signed volume > 0)
+    p0 = verts[cells[:, 0]]
+    d = np.einsum("ij,ij->i",
+                  np.cross(verts[cells[:, 1]] - p0, verts[cells[:, 2]] - p0),
+                  verts[cells[:, 3]] - p0)
+    neg = d < 0
+    cells[neg] = cells[neg][:, [0, 1, 3, 2]]
+    return Mesh(verts, cells, CellType.tetrahedron)
 
 
 def _refine_tet_uniform(mesh: Mesh) -> Mesh:

@@ -196,6 +196,48 @@ def test_refine_marked_conforming():
     assert np.isclose(vol, 1.0, atol=1e-12)
 
 
+def test_refine_marked_tet_local():
+    """Marked-edge tet bisection: volume preserved, conforming (every
+    interior face shared by exactly two cells), marked edges actually
+    bisected, and refinement stays local."""
+    from cutfemx_tpu.refine import refine_marked
+    mesh = cfx.mesh.create_unit_cube(3)
+    # mark all edges of cells touching the corner (0,0,0)
+    mid = mesh.vertices[mesh.edges].mean(axis=1)
+    marked = np.flatnonzero(np.linalg.norm(mid, axis=1) < 0.5)
+    assert len(marked) > 0
+    fine = refine_marked(mesh, marked)
+    assert fine.num_cells > mesh.num_cells
+    vv = fine.cell_vertex_coords
+    svol = np.einsum("ci,ci->c",
+                     np.cross(vv[:, 1] - vv[:, 0], vv[:, 2] - vv[:, 0]),
+                     vv[:, 3] - vv[:, 0]) / 6.0
+    assert (svol > 0).all()                      # positively oriented
+    assert np.isclose(svol.sum(), 1.0, atol=1e-12)
+    # conformity: face (sorted vertex triple) counts are 1 (boundary,
+    # on the cube surface) or 2 (interior)
+    c = fine.cells
+    faces = np.concatenate([c[:, [1, 2, 3]], c[:, [0, 2, 3]],
+                            c[:, [0, 1, 3]], c[:, [0, 1, 2]]])
+    faces = np.sort(faces, axis=1)
+    uniq, counts = np.unique(faces, axis=0, return_counts=True)
+    assert set(np.unique(counts)) <= {1, 2}
+    bfaces = uniq[counts == 1]
+    fv = fine.vertices[bfaces]                   # (nf, 3, 3)
+    on0 = (np.abs(fv) < 1e-12).all(axis=1)
+    on1 = (np.abs(fv - 1.0) < 1e-12).all(axis=1)
+    assert (on0 | on1).any(axis=1).all()
+    # every marked edge was bisected: its midpoint exists as a vertex
+    mpts = mid[marked]
+    d2 = np.min(((fine.vertices[None, :, :] - mpts[:, None, :]) ** 2)
+                .sum(-1), axis=1)
+    assert d2.max() < 1e-24
+    # locality: cells far from the corner are untouched in count
+    far = np.linalg.norm(mesh.vertices[mesh.cells].mean(axis=1) - 1.0,
+                         axis=1) < 0.4
+    assert fine.num_cells < 8 * mesh.num_cells   # not uniform
+
+
 def test_orient_surface():
     """BFS orientation makes all windings consistent (outward normals on
     a sphere after fixing the flipped half) and reports diagnostics —
