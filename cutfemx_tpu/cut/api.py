@@ -113,6 +113,18 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
         cut_data.domains[idx] == DOMAIN_INTERSECTED]
     levels = _subdivision_levels(cut_data, phi)
 
+    if backend in ("algoim", "algoim_general"):
+        # Saye dimension-reduction quadrature; quad/hex hosts only (the
+        # reference's Algoim host-cell validation, cut.cpp:194-237)
+        from .saye import saye_interface_rules, saye_volume_rules
+        if cut_data.hosted_dim != mesh.tdim:
+            raise NotImplementedError(
+                "algoim backends support cell-hosted rules only")
+        if op == "=":
+            return saye_interface_rules(mesh, phi, cut_entities, order)
+        side = "<" if op in ("<", "<=") else ">"
+        return saye_volume_rules(mesh, phi, cut_entities, order, side=side)
+
     if cut_data.hosted_dim == mesh.tdim:
         if op in ("<", "<="):
             return volume_rules(mesh, phi, cut_entities, order, side="<",
