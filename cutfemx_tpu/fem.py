@@ -165,7 +165,9 @@ class CutForm:
         elif n <= 16384:
             step = 1024
         else:
-            step = 16384
+            # keep padding waste under ~10% at large sizes (the padded
+            # elements are gathered/scattered every operator apply)
+            step = 2048
         return ((n + step - 1) // step) * step
 
     def _bucket_pad(self, inst):
@@ -934,6 +936,81 @@ def _matfree_cg(dim, precond, mats, rows, cols, perm, sorted_rows, active,
     return cg(op, bb, M=M, rtol=rtol, maxiter=maxiter)
 
 
+def _merge_equal_batches(mats, rows, cols):
+    """Sum element-matrix batches that address identical (rows, cols)
+    (e.g. the runtime-volume and Nitsche-surface instances both run over
+    the cut cells): one gather/scatter pass instead of two. mats are
+    device arrays; rows/cols host int arrays."""
+    out_m, out_r, out_c = [], [], []
+    for m, r, c in zip(mats, rows, cols):
+        for i, (rm, rr, rc) in enumerate(zip(out_m, out_r, out_c)):
+            if rr.shape == r.shape and rc.shape == c.shape and \
+                    out_m[i].shape == m.shape and \
+                    np.array_equal(rr, r) and np.array_equal(rc, c):
+                out_m[i] = rm + m
+                break
+        else:
+            out_m.append(m)
+            out_r.append(r)
+            out_c.append(c)
+    return out_m, out_r, out_c
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _fold_duplicates_device(A, slot, L):
+    """A_c[e, a, b] = sum over (i, j) with slot[e,i]=a, slot[e,j]=b of
+    A[e, i, j], as two batched one-hot matmuls (MXU work; the host-side
+    equivalent pays first-touch page faults for ~150 MB per build on
+    microVM hosts)."""
+    S = (slot[:, :, None] == jnp.arange(L)[None, None, :]).astype(A.dtype)
+    # HIGHEST: TPU einsum otherwise multiplies in bf16, which corrupts
+    # the folded matrices enough to stall CG at ~1e-4
+    return jnp.einsum("eia,eij,ejb->eab", S, A, S,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _duplicate_slots(rr):
+    """Per-element duplicate-dof slot map (host, small arrays only).
+
+    rr: (E, n) host int array -> (slot (E, n), rows_u (E, L), L) or None
+    when nothing compresses. A facet-pair element lists both cells' dofs,
+    so the shared-facet dofs appear twice (P2 tet pair: 20 listed, 14
+    unique)."""
+    E, n = rr.shape
+    order = np.argsort(rr, axis=1, kind="stable")
+    srt = np.take_along_axis(rr, order, axis=1)
+    new = np.ones((E, n), bool)
+    new[:, 1:] = srt[:, 1:] != srt[:, :-1]
+    slot_sorted = np.cumsum(new, axis=1) - 1
+    L = int(slot_sorted.max()) + 1
+    if L >= n:
+        return None
+    slot = np.empty((E, n), np.int64)
+    np.put_along_axis(slot, order, slot_sorted, axis=1)
+    rows_u = np.zeros((E, L), rr.dtype)
+    np.put_along_axis(rows_u, slot, rr, axis=1)
+    return slot, rows_u, L
+
+
+def _build_apply_arrays(mats, rows, cols, itypes):
+    """Merged + duplicate-compressed (mats, rows, cols) for the matvec.
+    mats: device arrays; rows/cols: host int arrays."""
+    cm, cr, cc = [], [], []
+    for m, r, c, it in zip(mats, rows, cols, itypes):
+        if it == "interior_facet" and r.shape == c.shape and \
+                np.array_equal(r, c):
+            packed = _duplicate_slots(r)
+            if packed is not None:
+                slot, rows_u, L = packed
+                m = _fold_duplicates_device(
+                    m, jnp.asarray(slot.astype(np.int32)), L)
+                r = c = rows_u
+        cm.append(m)
+        cr.append(r)
+        cc.append(c)
+    return _merge_equal_batches(cm, cr, cc)
+
+
 class CutOperator:
     """Matrix-free operator for a rank-2 form: precomputed element matrices
     + gather/einsum/scatter action, with inactive-dof masking folded in.
@@ -954,19 +1031,30 @@ class CutOperator:
         self.element_matrices = []
         self.row_dofs = []
         self.col_dofs = []
+        itypes = []
         for inst in f.instances:
             Ae = inst.kernel.assemble_matrix(inst.data, f.dtype, f.block)
             self.element_matrices.append(Ae)
             self.row_dofs.append(jnp.asarray(f._entity_dofs(V, inst)))
             self.col_dofs.append(jnp.asarray(f._entity_dofs(U, inst)))
+            itypes.append(inst.itype)
         self.active = (jnp.asarray(domain.active_mask)
                        if domain is not None else None)
-        self._mats = tuple(self.element_matrices)
-        self._rows = tuple(self.row_dofs)
-        self._cols = tuple(self.col_dofs)
+        # apply-path arrays: merged + compressed copies of the
+        # per-instance data (element_matrices/row_dofs stay per-instance
+        # for consumers that index by instance, e.g. StencilCutOperator).
+        # The apply is gather-bound (~25 ns per gathered element on TPU),
+        # so every dropped row element is wall-clock off the CG solve.
+        mats, rows, cols = _build_apply_arrays(
+            self.element_matrices,
+            [np.asarray(r) for r in self.row_dofs],
+            [np.asarray(c) for c in self.col_dofs], itypes)
+        self._mats = tuple(jnp.asarray(m) for m in mats)
+        self._rows = tuple(jnp.asarray(r) for r in rows)
+        self._cols = tuple(jnp.asarray(c) for c in cols)
         # presorted scatter plan (host): row-sorted segment-sum
         flat_rows = np.concatenate([np.asarray(r).ravel()
-                                    for r in self.row_dofs])
+                                    for r in rows])
         perm = np.argsort(flat_rows, kind="stable")
         self._perm = jnp.asarray(perm.astype(np.int32))
         self._sorted_rows = jnp.asarray(flat_rows[perm].astype(np.int32))
