@@ -546,12 +546,22 @@ def assemble_vector(f: CutForm):
     if f.rank != 1:
         raise ValueError("assemble_vector requires a rank-1 form")
     V = f.test_space
-    b = jnp.zeros(V.dim, f.dtype)
+    parts, rows_list = [], []
     for inst in f.instances:
         be = inst.kernel.assemble_vector(inst.data, f.dtype, f.block)
-        rows = jnp.asarray(f._entity_dofs(V, inst))
-        b = b.at[rows.ravel()].add(be.ravel())
-    return b
+        parts.append(be.ravel())
+        rows_list.append(np.asarray(f._entity_dofs(V, inst)).ravel())
+    if not parts:
+        return jnp.zeros(V.dim, f.dtype)
+    # sorted segment-sum instead of .at[].add: XLA scatters with
+    # unsorted indices serialize on TPU (~1 s at bench sizes)
+    flat_rows = np.concatenate(rows_list)
+    perm = np.argsort(flat_rows, kind="stable")
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return jax.ops.segment_sum(
+        flat[jnp.asarray(perm.astype(np.int32))],
+        jnp.asarray(flat_rows[perm].astype(np.int32)),
+        num_segments=V.dim, indices_are_sorted=True)
 
 
 def assemble_matrix(f: CutForm, bcs=None, extension_terms=None):
