@@ -914,12 +914,19 @@ def _matfree_apply_sorted(dim, mats, cols, perm, sorted_rows, active, x):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _matfree_diagonal(dim, mats, rows, cols, active, dtype_probe):
-    d = jnp.zeros(dim, dtype_probe.dtype)
+def _matfree_diagonal(dim, mats, rows, cols, perm, sorted_rows, active,
+                      dtype_probe):
+    """Operator diagonal via the apply's presorted scatter plan (the
+    unsorted .at[].add alternative serializes on TPU). The eq-trick sums
+    every (i, j) entry whose row and column map to the same dof, which
+    handles any remaining duplicate-dof elements."""
+    parts = []
     for Ae, r, c in zip(mats, rows, cols):
         eq = (r[:, :, None] == c[:, None, :])
-        contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
-        d = d.at[r.ravel()].add(contrib.ravel())
+        parts.append(jnp.sum(jnp.where(eq, Ae, 0.0), axis=2).ravel())
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    d = jax.ops.segment_sum(flat[perm], sorted_rows, num_segments=dim,
+                            indices_are_sorted=True)
     if active is not None:
         d = jnp.where(active, d, 1.0)
     return d
@@ -935,10 +942,12 @@ def _matfree_cg(dim, precond, mats, rows, cols, perm, sorted_rows, active,
         return _matfree_apply_sorted(dim, mats, cols, perm, sorted_rows,
                                      active, x)
     if precond == "jacobi":
-        d = _matfree_diagonal(dim, mats, rows, cols, active, b)
+        d = _matfree_diagonal(dim, mats, rows, cols, perm, sorted_rows,
+                              active, b)
         M = lambda r: r / d  # noqa: E731
     elif precond == "chebyshev":
-        d = _matfree_diagonal(dim, mats, rows, cols, active, b)
+        d = _matfree_diagonal(dim, mats, rows, cols, perm, sorted_rows,
+                              active, b)
         lmax = power_iteration_lmax(op, d, dim)
         M = chebyshev_preconditioner(op, d, lmax, degree=4)
     else:
@@ -1078,7 +1087,8 @@ class CutOperator:
         probe = self._mats[0][..., 0, 0] if self._mats else \
             jnp.zeros((), self.form.dtype)
         return _matfree_diagonal(self.dim, self._mats, self._rows,
-                                 self._cols, self.active,
+                                 self._cols, self._perm,
+                                 self._sorted_rows, self.active,
                                  jnp.zeros((), self._mats[0].dtype))
 
     def solve_cg(self, b, rtol=1e-8, maxiter=500, jacobi=True,
