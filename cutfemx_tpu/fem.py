@@ -718,9 +718,19 @@ def insert_diagonal(A: MatrixCSR, rows, value=1.0):
     rows = np.asarray(rows, dtype=np.int64)
     if rows.size == 0:
         return A
-    m = A.to_scipy().tolil()
-    m[rows, rows] = value
-    A._m = m.tocsr()
+    # CSR-native: zero any existing diagonal entries in those rows in-place,
+    # then add a COO diagonal. (lil fancy assignment materializes dense
+    # blocks — a 2.85 TiB OOM at 900k dofs; see CLAUDE.md.)
+    m = A.to_scipy().tocsr()
+    mask = np.zeros(m.shape[0], dtype=bool)
+    mask[rows] = True
+    coo = m.tocoo()
+    diag_hits = mask[coo.row] & (coo.row == coo.col)
+    if diag_hits.any():
+        m.data[diag_hits] = 0.0
+    add = sps.coo_matrix((np.full(rows.size, value, dtype=m.dtype),
+                          (rows, rows)), shape=m.shape)
+    A._m = (m + add.tocsr()).tocsr()
     return A
 
 
@@ -1057,6 +1067,10 @@ class CutOperator:
             self.row_dofs.append(jnp.asarray(f._entity_dofs(V, inst)))
             self.col_dofs.append(jnp.asarray(f._entity_dofs(U, inst)))
             itypes.append(inst.itype)
+        if not f.instances:
+            raise ValueError(
+                "CutOperator: form produced no integral instances (every "
+                "measure had an empty entity set); nothing to apply")
         self.active = (jnp.asarray(domain.active_mask)
                        if domain is not None else None)
         # apply-path arrays: merged + compressed copies of the
@@ -1084,12 +1098,10 @@ class CutOperator:
                                      self.active, x)
 
     def diagonal(self):
-        probe = self._mats[0][..., 0, 0] if self._mats else \
-            jnp.zeros((), self.form.dtype)
         return _matfree_diagonal(self.dim, self._mats, self._rows,
                                  self._cols, self._perm,
                                  self._sorted_rows, self.active,
-                                 jnp.zeros((), self._mats[0].dtype))
+                                 jnp.zeros((), self.form.dtype))
 
     def solve_cg(self, b, rtol=1e-8, maxiter=500, jacobi=True,
                  precond=None):

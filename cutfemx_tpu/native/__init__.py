@@ -9,7 +9,9 @@ components.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import sys
 import tempfile
@@ -24,13 +26,19 @@ _TRIED = False
 
 
 def _build_library():
+    # The output name is keyed to the source hash + host arch (never an
+    # mtime check): a stale or foreign-machine binary can't be picked up,
+    # and -march=native is avoided so the .so stays portable per-arch.
     src = os.path.join(os.path.dirname(__file__), "geometry_kernels.cpp")
-    out = os.path.join(os.path.dirname(__file__),
-                       f"_geometry_kernels_{sys.implementation.cache_tag}.so")
-    if os.path.exists(out) and os.path.getmtime(out) > os.path.getmtime(src):
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    out = os.path.join(
+        os.path.dirname(__file__),
+        f"_geometry_kernels_{sys.implementation.cache_tag}"
+        f"_{platform.machine()}_{digest}.so")
+    if os.path.exists(out):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           src, "-o", out]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
