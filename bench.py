@@ -1,43 +1,74 @@
 """Headline benchmark: 3D cut-Poisson (sphere level set, P2, matrix-free
-CG + Jacobi) assembly+solve wall-clock — the driver-defined target of
-BASELINE.json ("3D cut-Poisson assembly+CG solve wall-clock at 10M DOFs").
+CG + Jacobi) — the driver-defined target of BASELINE.json ("3D cut-Poisson
+assembly+CG solve wall-clock at 10M DOFs").
 
 Runs on the default JAX backend (the real TPU chip under the driver).
-Prints ONE JSON line. The reference publishes no numbers (BASELINE.md); the
-vs_baseline field compares our DOF throughput against an estimated MPI
-CutFEMx rate of 1.1e5 dof/s for assembly+solve on a 64-core node (10M DOFs
-in ~90 s), documented here as an estimate.
+Prints ONE JSON line.
 
-Env knobs: CUTFEMX_BENCH_N (mesh resolution, default 64),
-CUTFEMX_BENCH_ITERS (CG iterations, default 200).
+The timed region is the full moving-domain step the reference re-runs when
+the level set moves (cut.cpp:845-868): level-set classification ->
+runtime quadrature -> assembly -> CG solve. Mesh + function-space
+construction happen once per problem and are reported separately as
+host_setup_s.
+
+vs_baseline compares DOF throughput against an estimated MPI CutFEMx rate
+of 1.1e5 dof/s (assembly+solve, 64-core node); the derivation is in
+BASELINE.md — the reference publishes no numbers.
+
+Env knobs: CUTFEMX_BENCH_N (mesh resolution, default 48),
+CUTFEMX_BENCH_ITERS (CG iteration cap, default 500),
+CUTFEMX_BENCH_SOLVER=jacobi|mg|stencil.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
 
+def _prefault_worker(mb_total: int, nthreads: int = 32):
+    """Touch fresh guest pages in background threads while the main thread
+    waits on remote TPU compiles. On this microVM, first-ever page touches
+    go through slow snapshot paging (~15-45 MB/s single-threaded, ~3x more
+    in parallel); pages stay warm VM-wide afterwards, so faulting them
+    during the untimed warm-up pass keeps them out of the timed region."""
+    per = (mb_total // nthreads) << 20
+
+    def touch():
+        a = np.empty(per, np.uint8)
+        a[::4096] = 1
+        del a
+
+    threads = [threading.Thread(target=touch, daemon=True)
+               for _ in range(nthreads)]
+    for t in threads:
+        t.start()
+    return threads
+
+
 def main():
     import jax
-    import jax.numpy as jnp
 
     import cutfemx_tpu as cfx
     from cutfemx_tpu import fem
-    from cutfemx_tpu.forms.dsl import (CellDiameter, SpatialCoordinate,
-                                       TestFunction, TrialFunction, avg,
-                                       dot, grad, inner, jump, pi, sin,
-                                       FacetNormal)
+    from cutfemx_tpu.forms.dsl import (CellDiameter, FacetNormal,
+                                       SpatialCoordinate, TestFunction,
+                                       TrialFunction, avg, dot, grad, inner,
+                                       jump, pi, sin)
     from cutfemx_tpu.forms.measure import Measure
-    from cutfemx_tpu.la import cg
 
     n = int(os.environ.get("CUTFEMX_BENCH_N", "48"))
     iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "500"))
     solver = os.environ.get("CUTFEMX_BENCH_SOLVER", "jacobi")
     deg, r, gamma = 2, 0.46, 40.0
+
+    # background page pre-faulting sized to the problem (overlaps compiles)
+    prefault_mb = min(int(3000 * (n / 48) ** 3), 48000)
+    _prefault_worker(prefault_mb)
 
     host_t0 = time.perf_counter()
     mesh = cfx.mesh.create_box((-1, -1, -1), (1, 1, 1), (n, n, n))
@@ -45,12 +76,15 @@ def main():
     phi = cfx.Function(Vphi, name="phi")
     phi.interpolate(
         lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2 + x[2] ** 2) - r)
-    cd = cfx.cut(phi)
-    inside = cfx.locate_entities(cd, "phi<0")
     V = cfx.functionspace(mesh, ("Lagrange", deg))
+    _ = mesh.facets  # topology used by ghost-penalty terms
     host_setup = time.perf_counter() - host_t0
 
-    def build_forms():
+    def pipeline():
+        """One full moving-domain step: classify -> quadrature -> forms ->
+        assemble -> solve. Everything here re-runs when phi moves."""
+        cd = cfx.cut(phi)
+        inside = cfx.locate_entities(cd, "phi<0")
         vol = cfx.runtime_quadrature(cd, "phi<0", 2 * deg)
         srf = cfx.runtime_quadrature(cd, "phi=0", 2 * deg)
         gp = cfx.ghost_penalty_facets(cd, "phi<0")
@@ -71,39 +105,35 @@ def main():
                                   jump(grad(v), nf)) * dSg
         L = f * v * dxo + (-dot(grad(v), ng) * ue
                            + gamma / h * ue * v) * dxg
-        return fem.form(a), fem.form(L)
-
-    # warm-up pass: compiles every kernel + the fused CG program once
-    # (kernels are cached structurally, forms.compile._KERNEL_CACHE, so the
-    # timed pass below reuses them — the production moving-domain loop)
-    def pipeline():
-        af, Lf = build_forms()
+        af, Lf = fem.form(a), fem.form(L)
         dom = fem.active_domain(af)
         b = fem.assemble_vector(Lf)
         if solver == "mg":
             from cutfemx_tpu import mg
-            import numpy as _np
             A = fem.assemble_matrix(af)
-            bb = _np.array(b)
+            bb = np.array(b)
             fem.deactivate_outside(A, bb, dom)
             t_mid = time.perf_counter()
-            x, its, res = mg.mg_solve_cg(A, V, bb, rtol=1e-6,
-                                         maxiter=iters, nu=2)
-            jax.block_until_ready(x)
-            return x, its, res, t_mid
+            x_, its, res = mg.mg_solve_cg(A, V, bb, rtol=1e-6,
+                                          maxiter=iters, nu=2)
+            jax.block_until_ready(x_)
+            return x_, its, res, t_mid
         if solver == "stencil":
             from cutfemx_tpu.stencil import StencilCutOperator
             op = StencilCutOperator(af, dom)
         else:
             op = fem.CutOperator(af, dom)
         t_mid = time.perf_counter()
-        x, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters)
-        x.block_until_ready()
-        return x, its, res, t_mid
+        x_, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters)
+        x_.block_until_ready()
+        return x_, its, res, t_mid
 
+    # warm-up pass: compiles every kernel + the fused CG program once
+    # (kernels are cached structurally, forms/compile._KERNEL_CACHE, so the
+    # timed pass below reuses them — the production moving-domain loop)
     pipeline()
 
-    # timed run: runtime quadrature + assembly + CG solve (steady state)
+    # timed run: classify + runtime quadrature + assembly + CG solve
     t0 = time.perf_counter()
     x, its, res, t_asm = pipeline()
     t1 = time.perf_counter()
@@ -111,15 +141,15 @@ def main():
     dofs = V.dim
     total = t1 - t0
     rate = dofs / total
-    baseline_rate = 1.1e5  # est. MPI CutFEMx 64-core dof/s (see docstring)
+    baseline_rate = 1.1e5  # est. MPI CutFEMx 64-core dof/s (BASELINE.md)
     result = {
-        "metric": "cut_poisson_3d_p2_assembly_cg_wallclock",
+        "metric": "cut_poisson_3d_p2_cut_assemble_solve_wallclock",
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(rate / baseline_rate, 3),
         "dofs": int(dofs),
         "cells": int(mesh.num_cells),
-        "assembly_s": round(t_asm - t0, 4),
+        "cut_assembly_s": round(t_asm - t0, 4),
         "solve_s": round(t1 - t_asm, 4),
         "cg_iters": int(its),
         "solver": solver,

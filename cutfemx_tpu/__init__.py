@@ -7,6 +7,7 @@ assembly as batched einsum kernels, matrix-free Krylov solvers, and
 device-mesh sharding with halo exchange for multi-chip runs.
 """
 
+from . import _hostmem  # noqa: F401  (glibc heap tuning; must run early)
 from . import la  # noqa: F401
 from . import mesh  # noqa: F401
 from .functionspace import Constant, Function, FunctionSpace, functionspace  # noqa: F401

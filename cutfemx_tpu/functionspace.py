@@ -77,13 +77,13 @@ class FunctionSpace:
         vert_off = offset
         offset += mesh.num_vertices
         # edge dofs
-        edge_off = offset
+        edge_off = self._edge_off = offset
         if n_edge_int and tdim >= 2:
             offset += mesh.num_edges * n_edge_int
         elif n_edge_int and tdim == 1:
             pass  # interval: 'edge interior' dofs are cell-interior
         # face dofs (3D)
-        face_off = offset
+        face_off = self._face_off = offset
         if n_face_int and tdim == 3:
             offset += mesh.num_facets * n_face_int
         # cell-interior dofs
@@ -148,19 +148,83 @@ class FunctionSpace:
     def dof_coordinates(self):
         """(num_scalar_dofs, gdim) coordinates of each scalar dof."""
         if self._dof_coords is None:
-            el = self.element
-            mesh = self.mesh
-            # map reference lattice points through each cell's geometry
-            phi = el.tabulate(el.dof_points.astype(np.float64))  # fixed table
-            phi_geo = lagrange_element(mesh.cell_type, 1).tabulate(
-                el.dof_points)                                   # (nd, nvert)
-            coords = np.einsum("dk,ckg->cdg", np.asarray(phi_geo),
-                               mesh.cell_vertex_coords)
-            out = np.zeros((self.num_scalar_dofs, mesh.gdim))
-            out[self.dofmap.ravel()] = coords.reshape(-1, mesh.gdim)
-            self._dof_coords = out
-            del phi
+            self._dof_coords = self._compute_dof_coordinates()
         return self._dof_coords
+
+    def _compute_dof_coordinates(self):
+        el, mesh = self.element, self.mesh
+        if self.family == "DG":
+            # per-cell dof numbering: no shared entities to exploit
+            phi_geo = np.asarray(
+                lagrange_element(mesh.cell_type, 1).tabulate(el.dof_points))
+            return self._dof_coordinates_percell(phi_geo)
+        if self.degree == 1:
+            # P1 dofs are exactly the mesh vertices (dof numbering puts
+            # vertex dofs first, ordered by global vertex id)
+            return np.ascontiguousarray(mesh.vertices)
+        # Entity-wise construction: each global dof's coordinate comes from
+        # the P1 geometry weights of its reference point, evaluated on the
+        # vertices of its owning entity — O(ndofs) instead of the per-cell
+        # einsum (which recomputes every shared dof once per adjacent cell
+        # and allocates (NC, ndofs_cell, gdim) temporaries).
+        phi_geo = np.asarray(lagrange_element(mesh.cell_type, 1).tabulate(
+            el.dof_points))                                   # (nd, nvert)
+        cell = mesh.ref_cell
+        tdim = mesh.tdim
+        out = np.zeros((self.num_scalar_dofs, mesh.gdim))
+        verts = mesh.vertices
+        cell_int_dofs = []
+        for (edim, eidx), dofs in el.entity_dofs.items():
+            if edim == 0:
+                continue  # vertex block = verts, filled below
+            if edim == 1 and tdim >= 2:
+                la, lb = cell.edges[eidx]
+                if eidx != 0:
+                    continue  # same params for every edge; handle once
+                # slot j along the ascending global edge sits at param t_j:
+                # dofmap stores slot kk = k (fwd) so slot j <-> local dof
+                # dofs[j] measured la->lb, param = weight on lb.
+                ts = phi_geo[np.asarray(dofs), lb]            # (n_edge_int,)
+                e = mesh.edges                                # ascending rows
+                lo, hi = verts[e[:, 0]], verts[e[:, 1]]       # (NE, gdim)
+                n_ei = len(ts)
+                base = self._edge_off + np.arange(
+                    mesh.num_edges, dtype=np.int64) * n_ei
+                for j, t in enumerate(ts):
+                    out[base + j] = (1.0 - t) * lo + t * hi
+            elif edim == tdim - 1 and tdim == 3:
+                if eidx != 0:
+                    continue
+                fverts = np.asarray(cell.facets[eidx])
+                w = phi_geo[np.asarray(dofs)][:, fverts]      # (nfi, nvf)
+                if not np.allclose(w, w[:, :1]):
+                    # asymmetric face points would need orientation
+                    # bookkeeping; fall back to the per-cell path
+                    return self._dof_coordinates_percell(phi_geo)
+                f = mesh.facets
+                centers = verts[f].mean(axis=1)               # (NF, gdim)
+                n_fi = len(dofs)
+                base = self._face_off + np.arange(
+                    mesh.num_facets, dtype=np.int64) * n_fi
+                for j in range(n_fi):
+                    out[base + j] = centers
+            elif edim == tdim or (edim == 1 and tdim == 1):
+                cell_int_dofs.extend(dofs)
+        out[:mesh.num_vertices] = verts
+        if cell_int_dofs:
+            d = np.asarray(sorted(cell_int_dofs))
+            coords = np.einsum("dk,ckg->cdg", phi_geo[d],
+                               mesh.cell_vertex_coords)       # (NC, nci, g)
+            out[self.dofmap[:, d].ravel()] = coords.reshape(-1, mesh.gdim)
+        return out
+
+    def _dof_coordinates_percell(self, phi_geo):
+        mesh = self.mesh
+        coords = np.einsum("dk,ckg->cdg", phi_geo,
+                           mesh.cell_vertex_coords)
+        out = np.zeros((self.num_scalar_dofs, mesh.gdim))
+        out[self.dofmap.ravel()] = coords.reshape(-1, mesh.gdim)
+        return out
 
     def tabulate_dof_coordinates(self):
         return self.dof_coordinates

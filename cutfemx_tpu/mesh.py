@@ -45,12 +45,34 @@ class Mesh:
         order, cell_entities (NC, n_sub_per_cell) int32).
         """
         local = np.asarray(sub_verts_table)
-        sub = self.cells[:, local]               # (NC, nspc, nvs)
-        key = np.sort(sub.reshape(-1, local.shape[1]), axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
-        cell_entities = inv.reshape(self.num_cells,
-                                    local.shape[0]).astype(np.int32)
-        return uniq.astype(np.int32), cell_entities
+        nvs = local.shape[1]
+        sub = self.cells[:, local].reshape(-1, nvs)  # (NC*nspc, nvs)
+        sub.sort(axis=1)
+        # np.unique(axis=0) falls back to void-dtype comparisons (an order
+        # of magnitude slower); dedup via a scalar code (pairs) or lexsort.
+        # int32 everywhere it fits: cumsum/astype on int64 are memory-bound
+        # and measurably slow on this host.
+        if nvs == 2:
+            code = sub[:, 0].astype(np.int64) * self.num_vertices
+            code += sub[:, 1]
+            order = np.argsort(code, kind="stable")
+            cs = code[order]
+            first = np.empty(len(cs), dtype=bool)
+            first[0] = True
+            np.not_equal(cs[1:], cs[:-1], out=first[1:])
+        else:
+            order = np.lexsort(sub.T[::-1])
+            ks = sub[order]
+            first = np.empty(len(ks), dtype=bool)
+            first[0] = True
+            np.any(ks[1:] != ks[:-1], axis=1, out=first[1:])
+        uid_sorted = np.cumsum(first, dtype=np.int32)
+        uid_sorted -= 1
+        inv = np.empty(len(order), dtype=np.int32)
+        inv[order] = uid_sorted
+        uniq = np.ascontiguousarray(sub[order[first]])
+        cell_entities = inv.reshape(self.num_cells, local.shape[0])
+        return uniq, cell_entities
 
     @property
     def edges(self):

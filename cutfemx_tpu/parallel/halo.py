@@ -45,28 +45,83 @@ class SlabPartition:
     ghostl_valid: np.ndarray       # (P, gl_max) bool
     ghostr_valid: np.ndarray       # (P, gr_max) bool
     dof_owner: np.ndarray
-    local_of_global: dict
+    owned_ids: list                # per part: sorted global dofs owned
+    gl_ids: list                   # per part: sorted left-ghost globals
+    gr_ids: list                   # per part: sorted right-ghost globals
+
+    def locals_of_globals(self, p: int, g: np.ndarray) -> np.ndarray:
+        """Vectorized (global dof -> local slot) map for part p. Raises if
+        any dof is neither owned by p nor in p's ghost layer."""
+        g = np.asarray(g)
+        owner = self.dof_owner[g]
+        loc = np.empty(g.shape, np.int64)
+        pools = ((p, self.owned_ids[p], 0),
+                 (p - 1, self.gl_ids[p], self.owned_max),
+                 (p + 1, self.gr_ids[p], self.owned_max + self.gl_max))
+        covered = np.zeros(g.shape, bool)
+        for q, ids, off in pools:
+            m = owner == q
+            if not m.any():
+                continue
+            idx = np.searchsorted(ids, g[m])
+            ok = (idx < len(ids))
+            ok &= np.where(ok, ids[np.minimum(idx, len(ids) - 1)] == g[m],
+                           False)
+            if not ok.all():
+                raise ValueError(
+                    "integral couples dofs outside the slab's ghost "
+                    "layer; use fewer partitions")
+            loc[m] = off + idx
+            covered |= m
+        if not covered.all():
+            raise ValueError(
+                "integral couples dofs outside the slab's ghost layer; "
+                "use fewer partitions")
+        return loc
+
+
+class _NonNeighborGhosts(ValueError):
+    pass
 
 
 def build_slab_partition(V, nparts) -> SlabPartition:
     """Partition cells of V.mesh into geometric slabs with one-cell ghost
-    layers and build the two-sided halo layout for V's blocked dofs."""
+    layers and build the two-sided halo layout for V's blocked dofs.
+
+    If ``nparts`` slabs would be so thin that a ghost layer spans two
+    slabs (non-neighbor ghosts), the cells are spread over fewer
+    non-empty slabs instead — trailing devices own nothing but still
+    participate in the collective program."""
+    last_err = None
+    for m in range(nparts, 0, -1):
+        try:
+            return _build_slab_partition_m(V, nparts, m)
+        except _NonNeighborGhosts as e:
+            last_err = e
+    raise last_err
+
+
+def _build_slab_partition_m(V, nparts, m) -> SlabPartition:
     mesh = V.mesh
     bd = V.blocked_dofmap
-    nd_cell = bd.shape[1]
     ndofs = V.dim
 
     mids = mesh.midpoints()
     extent = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
     axis = int(np.argmax(extent))
     order = np.argsort(mids[:, axis], kind="stable")
-    parts_cells = np.array_split(order, nparts)
+    parts_cells = list(np.array_split(order, m))
+    parts_cells += [np.empty(0, np.int64)] * (nparts - m)
     cell_part = np.empty(mesh.num_cells, np.int32)
-    for p, cs in enumerate(parts_cells):
+    for p, cs in enumerate(parts_cells[:m]):
         cell_part[cs] = p
 
+    # dof owner = lowest slab touching it: write slabs in descending order
+    # so lower indices overwrite (vectorized; ufunc.at is orders of
+    # magnitude slower at 10M dofs)
     dof_owner = np.full(ndofs, nparts, np.int32)
-    np.minimum.at(dof_owner, bd.ravel(), np.repeat(cell_part, nd_cell))
+    for p in range(m - 1, -1, -1):
+        dof_owner[bd[parts_cells[p]].ravel()] = p
 
     # one-cell ghost layer via facet adjacency
     fc = mesh.facet_cells
@@ -74,22 +129,28 @@ def build_slab_partition(V, nparts) -> SlabPartition:
     a, b = fc[interior, 0], fc[interior, 1]
 
     owned_lists, gl_lists, gr_lists = [], [], []
+    empty = np.empty(0, np.int64)
     for p in range(nparts):
+        if p >= m:
+            owned_lists.append(empty)
+            gl_lists.append(empty)
+            gr_lists.append(empty)
+            continue
         own_cells = parts_cells[p]
         in_p = cell_part == p
         nb = np.concatenate([b[in_p[a]], a[in_p[b]]])
         layer_cells = np.unique(np.concatenate([own_cells, nb]))
         touched = np.unique(bd[layer_cells].ravel())
-        owned = np.flatnonzero(dof_owner == p)
+        owned = np.flatnonzero(dof_owner == p).astype(np.int64)
         ghosts = touched[dof_owner[touched] != p]
         owners = dof_owner[ghosts]
         if len(ghosts) and not np.isin(owners, [p - 1, p + 1]).all():
-            raise ValueError(
+            raise _NonNeighborGhosts(
                 "slab partition has non-neighbor ghosts; use fewer "
                 "partitions or a finer mesh")
         owned_lists.append(owned)
-        gl_lists.append(ghosts[owners == p - 1])
-        gr_lists.append(ghosts[owners == p + 1])
+        gl_lists.append(np.sort(ghosts[owners == p - 1]).astype(np.int64))
+        gr_lists.append(np.sort(ghosts[owners == p + 1]).astype(np.int64))
 
     owned_max = max(len(o) for o in owned_lists)
     gl_max = max(max((len(g) for g in gl_lists), default=0), 1)
@@ -97,40 +158,36 @@ def build_slab_partition(V, nparts) -> SlabPartition:
     local_size = owned_max + gl_max + gr_max
 
     global_of_local = np.full((nparts, local_size), -1, np.int64)
-    lofg = {}
     for p in range(nparts):
-        for i, g in enumerate(owned_lists[p]):
-            global_of_local[p, i] = g
-            lofg[(p, g)] = i
-        for i, g in enumerate(gl_lists[p]):
-            global_of_local[p, owned_max + i] = g
-            lofg[(p, g)] = owned_max + i
-        for i, g in enumerate(gr_lists[p]):
-            global_of_local[p, owned_max + gl_max + i] = g
-            lofg[(p, g)] = owned_max + gl_max + i
+        global_of_local[p, :len(owned_lists[p])] = owned_lists[p]
+        global_of_local[p, owned_max:owned_max + len(gl_lists[p])] = \
+            gl_lists[p]
+        go = owned_max + gl_max
+        global_of_local[p, go:go + len(gr_lists[p])] = gr_lists[p]
 
-    send_left = np.zeros((nparts, gl_max), np.int64)
-    send_right = np.zeros((nparts, gr_max), np.int64)
-    ghostl_valid = np.zeros((nparts, gl_max), bool)
-    ghostr_valid = np.zeros((nparts, gr_max), bool)
-    for p in range(nparts):
-        ghostl_valid[p, :len(gl_lists[p])] = True
-        ghostr_valid[p, :len(gr_lists[p])] = True
-        if p + 1 < nparts:
-            for i, g in enumerate(gl_lists[p + 1]):
-                send_left[p, i] = lofg[(p, g)]
-        if p - 1 >= 0:
-            for i, g in enumerate(gr_lists[p - 1]):
-                send_right[p, i] = lofg[(p, g)]
-
-    return SlabPartition(
+    part = SlabPartition(
         nparts=nparts, cell_part=cell_part,
         n_owned=np.array([len(o) for o in owned_lists], np.int32),
         owned_max=owned_max, gl_max=gl_max, gr_max=gr_max,
         local_size=local_size, global_of_local=global_of_local,
-        send_left_slots=send_left, send_right_slots=send_right,
-        ghostl_valid=ghostl_valid, ghostr_valid=ghostr_valid,
-        dof_owner=dof_owner, local_of_global=lofg)
+        send_left_slots=np.zeros((nparts, gl_max), np.int64),
+        send_right_slots=np.zeros((nparts, gr_max), np.int64),
+        ghostl_valid=np.zeros((nparts, gl_max), bool),
+        ghostr_valid=np.zeros((nparts, gr_max), bool),
+        dof_owner=dof_owner, owned_ids=owned_lists, gl_ids=gl_lists,
+        gr_ids=gr_lists)
+
+    for p in range(nparts):
+        part.ghostl_valid[p, :len(gl_lists[p])] = True
+        part.ghostr_valid[p, :len(gr_lists[p])] = True
+        if p + 1 < nparts and len(gl_lists[p + 1]):
+            # p+1's left ghosts are owned by p: local slot = owned index
+            part.send_left_slots[p, :len(gl_lists[p + 1])] = \
+                np.searchsorted(owned_lists[p], gl_lists[p + 1])
+        if p - 1 >= 0 and len(gr_lists[p - 1]):
+            part.send_right_slots[p, :len(gr_lists[p - 1])] = \
+                np.searchsorted(owned_lists[p], gr_lists[p - 1])
+    return part
 
 
 class HaloOperator:
@@ -154,7 +211,6 @@ class HaloOperator:
 
         inst_cells = [np.asarray(inst.rows_cells)
                       for inst in form.instances]
-        lofg = part.local_of_global
         stacked = []
         for (Ae, rows), cells in zip(
                 [(np.asarray(a), np.asarray(r))
@@ -163,22 +219,17 @@ class HaloOperator:
             cells0 = cells if cells.ndim == 1 else cells[:, 0]
             slabs = part.cell_part[cells0]
             nd = rows.shape[1]
-            emax = max(max((int((slabs == p).sum())
-                            for p in range(part.nparts)), default=0), 1)
+            counts = np.bincount(slabs, minlength=part.nparts)
+            emax = max(int(counts.max()), 1)
             A = np.zeros((part.nparts, emax, nd, nd), Ae.dtype)
             D = np.full((part.nparts, emax, nd), part.local_size - 1,
                         np.int64)
             for p in range(part.nparts):
                 sel = np.flatnonzero(slabs == p)
+                if not len(sel):
+                    continue
                 A[p, :len(sel)] = Ae[sel]
-                for k, e in enumerate(sel):
-                    for j in range(nd):
-                        key = (p, rows[e, j])
-                        if key not in lofg:
-                            raise ValueError(
-                                "integral couples dofs outside the slab's "
-                                "ghost layer; use fewer partitions")
-                        D[p, k, j] = lofg[key]
+                D[p, :len(sel)] = part.locals_of_globals(p, rows[sel])
             stacked.append((A, D))
         self.instances = stacked
 

@@ -179,6 +179,42 @@ class StencilCutOperator:
         self.active = (jnp.asarray(domain.active_mask)
                        if domain is not None else None)
 
+        # -- grid-layout solve path (BENCH_NOTES round-1 design): CG state
+        # stays in channel-grid layout so the interior needs NO gathers;
+        # only the element path (cut band, interface, ghost penalty,
+        # leftover simplices) gathers, at grid positions.
+        nch = 8 if self.degree == 2 else 1
+        self.nch = nch
+        self.gsize = nch * self.N ** 3
+        d2g = np.asarray(self.dof_to_grid)
+        self.rest_rows_grid = tuple(
+            jnp.asarray(d2g[np.asarray(r)]) for r in rows)
+        gflat = d2g[flat] if len(flat) else np.zeros(0, np.int64)
+        gperm = np.argsort(gflat, kind="stable")
+        self._permg = jnp.asarray(gperm.astype(np.int32))
+        self._sortedg = jnp.asarray(gflat[gperm].astype(np.int32))
+        valid_flat = np.asarray(self.grid_valid).reshape(-1)
+        if self.active is not None:
+            act = np.zeros(self.gsize, bool)
+            act[valid_flat] = np.asarray(self.active)[
+                np.asarray(self.grid_index).reshape(-1)[valid_flat]]
+            self.active_grid = jnp.asarray(act)
+            self.identity_grid = jnp.asarray(valid_flat & ~act)
+        else:
+            self.active_grid = jnp.asarray(valid_flat)
+            self.identity_grid = jnp.asarray(np.zeros(self.gsize, bool))
+
+    # -- grid-layout conversions ---------------------------------------------
+
+    def vec_to_grid(self, x):
+        """Dof vector -> flat channel-grid vector (zeros at invalid slots)."""
+        X = jnp.where(self.grid_valid, jnp.asarray(x)[self.grid_gather],
+                      0.0)
+        return X.reshape(-1)
+
+    def grid_to_vec(self, Xf):
+        return Xf[self.dof_to_grid]
+
     # -- setup helpers -------------------------------------------------------
 
     @staticmethod
@@ -290,51 +326,77 @@ class StencilCutOperator:
             d = jnp.where(self.active, d, 1.0)
         return d
 
+    def diagonal_grid(self):
+        """Assembled diagonal in flat grid layout (1.0 at inactive and
+        invalid slots so Jacobi division is safe)."""
+        n, N = self.n, self.N
+        dloc = jnp.diagonal(self.A_local)
+        Y = jnp.zeros((self.nch, N, N, N), self.A_local.dtype)
+        for s, (ch, (dx, dy, dz)) in enumerate(self.table):
+            Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(
+                jnp.where(self.cube_mask_j, dloc[s], 0.0))
+        d = Y.reshape(-1)
+        for Ae, rg in zip(self.rest_mats, self.rest_rows_grid):
+            eq = rg[:, :, None] == rg[:, None, :]
+            contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
+            d = d.at[rg.ravel()].add(contrib.ravel())
+        return jnp.where(self.active_grid, d, 1.0)
+
     def solve_cg(self, b, rtol=1e-8, maxiter=500):
-        """Fully-jitted Jacobi-preconditioned CG on the stencil operator."""
-        return _stencil_cg(self, jnp.asarray(b), rtol, maxiter)
+        """Fully-jitted Jacobi-preconditioned CG, grid layout end-to-end:
+        the interior apply is pure slicing + one batched matmul (no
+        gathers); only the cut band gathers. Takes and returns dof
+        vectors."""
+        x, it, res = _stencil_cg(self, jnp.asarray(b), rtol, maxiter)
+        return x, it, res
 
 
 @partial(jax.jit, static_argnums=(0,))
 def _stencil_cg(op: StencilCutOperator, b, rtol, maxiter):
     from .la import cg
     bb = jnp.where(op.active, b, 0.0) if op.active is not None else b
-    d = op.diagonal()
-    return cg(lambda x: _stencil_apply(op, x), bb, M=lambda r: r / d,
-              rtol=rtol, maxiter=maxiter)
+    bg = op.vec_to_grid(bb)
+    dg = op.diagonal_grid()
+    xg, it, res = cg(lambda Xf: _stencil_apply_grid(op, Xf), bg,
+                     M=lambda r: r / dg, rtol=rtol, maxiter=maxiter)
+    return op.grid_to_vec(xg), it, res
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _stencil_apply(op: StencilCutOperator, x):
-    xin = jnp.where(op.active, x, 0.0) if op.active is not None else x
-    n, N = op.n, op.N
-    nch = 8 if op.degree == 2 else 1
-    # dof vector -> channel grids
-    X = jnp.where(op.grid_valid, xin[op.grid_gather], 0.0)  # (nch,N,N,N)
-    # gather cube-local vectors by shifts
+def _stencil_apply_grid(op: StencilCutOperator, Xf):
+    """Operator apply on flat grid-layout vectors. Invariant: invalid grid
+    slots are zero on input and output; inactive dofs get identity."""
+    n, N, nch = op.n, op.N, op.nch
+    Xin = jnp.where(op.active_grid, Xf, 0.0)
+    X = Xin.reshape(nch, N, N, N)
     parts = []
     for (ch, (dx, dy, dz)) in op.table:
         parts.append(X[ch, dx:dx + n, dy:dy + n, dz:dz + n])
     xc = jnp.stack(parts, axis=-1)                  # (n, n, n, L)
     yc = jnp.einsum("xyzl,lm->xyzm", xc, op.A_local)
     yc = jnp.where(op.cube_mask_j[..., None], yc, 0.0)
-    # scatter back by transpose shifts
     Y = jnp.zeros_like(X)
     for s, (ch, (dx, dy, dz)) in enumerate(op.table):
         Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(yc[..., s])
-    y = jnp.zeros_like(xin)
-    flatY = Y.reshape(-1)
-    y = flatY[op.dof_to_grid]
-    # element-path remainder
+    Yf = Y.reshape(-1)
     if op.rest_mats:
         parts2 = []
-        for Ae, rr in zip(op.rest_mats, op.rest_rows):
-            xe = xin[rr]
+        for Ae, rg in zip(op.rest_mats, op.rest_rows_grid):
+            xe = Xin[rg]
             parts2.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
         flat = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
-        y = y + jax.ops.segment_sum(flat[op._perm], op._sorted,
-                                    num_segments=op.dim,
-                                    indices_are_sorted=True)
-    if op.active is not None:
-        y = jnp.where(op.active, y, x)
-    return y
+        Yf = Yf + jax.ops.segment_sum(flat[op._permg], op._sortedg,
+                                      num_segments=op.gsize,
+                                      indices_are_sorted=True)
+    # identity on inactive (valid) slots; zero on invalid slots
+    Yf = jnp.where(op.active_grid, Yf, 0.0)
+    Yf = Yf + jnp.where(op.identity_grid, Xf, 0.0)
+    return Yf
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _stencil_apply(op: StencilCutOperator, x):
+    """Vector-in/vector-out apply (wraps the grid apply)."""
+    Xf = op.vec_to_grid(x)
+    Yf = _stencil_apply_grid(op, Xf)
+    return op.grid_to_vec(Yf)
