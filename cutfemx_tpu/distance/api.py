@@ -148,14 +148,41 @@ def _component_labels(mesh, cut_facets_mask):
     return label
 
 
+def _cut_facets_exact(mesh, soup, ctmap):
+    """Mark facets actually intersected by surface triangles, using the
+    exact predicate-only seg-tri/tri-tri tests (tri_intersection.h:132-186
+    role). Falls back to the conservative every-candidate-facet marking
+    when the native predicates are unavailable."""
+    from ..native import seg_tri_isect_batch, tri_tri_isect_batch
+    cut_facets = np.zeros(mesh.num_facets, bool)
+    counts = np.diff(ctmap.offsets)
+    cell_idx = np.repeat(np.arange(mesh.num_cells), counts)
+    tri_idx = ctmap.triangles
+    if not len(cell_idx):
+        return cut_facets
+    nfpc = mesh.cell_facets.shape[1]
+    fids = mesh.cell_facets[cell_idx]                    # (P, nfpc)
+    fids_flat = fids.ravel()
+    tc = soup.triangle_coords()
+    tris = np.repeat(tc[tri_idx], nfpc, axis=0)          # (P*nfpc, 3, 3)
+    fverts = _pad3(mesh.vertices)[mesh.facets[fids_flat]]
+    if mesh.facets.shape[1] == 3:
+        hit = tri_tri_isect_batch(fverts, tris)
+    elif mesh.facets.shape[1] == 2:
+        hit = seg_tri_isect_batch(fverts, tris)
+    else:
+        hit = None
+    if hit is None:  # conservative fallback (no native library)
+        cut_facets[fids_flat] = True
+        return cut_facets
+    cut_facets[fids_flat[hit]] = True
+    return cut_facets
+
+
 def _sign_component_anchor(mesh, soup, ctmap, d, closest, nrm, frozen):
     """Cut facets block flood fill; boundary-anchored component is
     outside; near-band vertices use the closest-triangle normal test."""
-    # facets of cells with triangle candidates are 'cut facets'
-    # (conservative; the reference uses exact facet-triangle tests)
-    cut_cells = ctmap.cells_with_triangles()
-    cut_facets = np.zeros(mesh.num_facets, bool)
-    cut_facets[mesh.cell_facets[cut_cells].ravel()] = True
+    cut_facets = _cut_facets_exact(mesh, soup, ctmap)
     label = _component_labels(mesh, cut_facets)
     outside_cells = label == 0
 

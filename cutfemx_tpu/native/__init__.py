@@ -65,6 +65,16 @@ def get_lib():
             lib.cutfemx_tri_cell_overlap.restype = None
             lib.cutfemx_tri_cell_overlap.argtypes = [dp, dp, ctypes.c_int64,
                                                      ctypes.c_int, u8p]
+            lib.cutfemx_seg_tri_isect.restype = ctypes.c_int
+            lib.cutfemx_seg_tri_isect.argtypes = [dp, dp, dp, dp, dp]
+            lib.cutfemx_tri_tri_isect.restype = ctypes.c_int
+            lib.cutfemx_tri_tri_isect.argtypes = [dp, dp]
+            lib.cutfemx_seg_tri_isect_batch.restype = None
+            lib.cutfemx_seg_tri_isect_batch.argtypes = [dp, dp,
+                                                        ctypes.c_int64, u8p]
+            lib.cutfemx_tri_tri_isect_batch.restype = None
+            lib.cutfemx_tri_tri_isect_batch.argtypes = [dp, dp,
+                                                        ctypes.c_int64, u8p]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -137,3 +147,38 @@ def tri_cell_overlap(cells, tris):
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out.astype(bool)
     return None  # caller falls back to the NumPy path
+
+
+def tri_tri_isect_batch(t1, t2):
+    """Exact (predicate-only) closed triangle-triangle intersection flags.
+    t1, t2: (m, 3, 3). Returns bool (m,) or None when the native library
+    is unavailable (callers fall back to a conservative test)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t1 = np.ascontiguousarray(t1, dtype=np.float64)
+    t2 = np.ascontiguousarray(t2, dtype=np.float64)
+    m = t1.shape[0]
+    out = np.empty(max(m, 1), dtype=np.uint8)
+    if m:
+        lib.cutfemx_tri_tri_isect_batch(
+            _dp(t1), _dp(t2), m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:m].astype(bool)
+
+
+def seg_tri_isect_batch(segs, tris):
+    """Exact closed segment-triangle intersection flags. segs: (m, 2, 3);
+    tris: (m, 3, 3). Returns bool (m,) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    segs = np.ascontiguousarray(segs, dtype=np.float64)
+    tris = np.ascontiguousarray(tris, dtype=np.float64)
+    m = segs.shape[0]
+    out = np.empty(max(m, 1), dtype=np.uint8)
+    if m:
+        lib.cutfemx_seg_tri_isect_batch(
+            _dp(segs), _dp(tris), m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:m].astype(bool)

@@ -12,6 +12,7 @@
 //
 // Exposed with a plain C ABI for ctypes; arrays are dense float64/int64.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -221,6 +222,163 @@ void cutfemx_tri_cell_overlap(const double* cells, const double* tris,
     }
     out[i] = sep ? 0 : 1;
   }
+}
+
+// -- exact segment-triangle / triangle-triangle intersection ------------------
+//
+// Predicate-only tests with the exact-filtered orientation predicates above
+// (the role of /root/reference/cpp/cutfemx/distance/stl/tri_intersection.h:
+// 132-186). Closed semantics: touching counts as intersecting — matching the
+// "block the flood fill" use in the ComponentAnchor sign mode.
+
+static inline int sgn(double v) { return (v > 0.0) - (v < 0.0); }
+
+static int dominant_axis(const double* a, const double* b, const double* c)
+{
+  double u[3], v[3], n[3];
+  for (int k = 0; k < 3; ++k)
+  {
+    u[k] = b[k] - a[k];
+    v[k] = c[k] - a[k];
+  }
+  cross3(u, v, n);
+  double ax = std::fabs(n[0]), ay = std::fabs(n[1]), az = std::fabs(n[2]);
+  if (ax >= ay && ax >= az) return 0;
+  if (ay >= az) return 1;
+  return 2;
+}
+
+static inline void proj2(const double* p, int drop, double* out)
+{
+  int i = 0;
+  for (int k = 0; k < 3; ++k)
+    if (k != drop) out[i++] = p[k];
+}
+
+static bool pt_in_tri2(const double* p, const double* a, const double* b,
+                       const double* c)
+{
+  int s1 = sgn(cutfemx_orient2d(a, b, p));
+  int s2 = sgn(cutfemx_orient2d(b, c, p));
+  int s3 = sgn(cutfemx_orient2d(c, a, p));
+  return (s1 >= 0 && s2 >= 0 && s3 >= 0)
+      || (s1 <= 0 && s2 <= 0 && s3 <= 0);
+}
+
+static bool on_seg2(const double* a, const double* b, const double* x,
+                    int orient)
+{
+  if (orient != 0) return false;
+  return std::min(a[0], b[0]) <= x[0] && x[0] <= std::max(a[0], b[0])
+      && std::min(a[1], b[1]) <= x[1] && x[1] <= std::max(a[1], b[1]);
+}
+
+static bool seg_seg2(const double* p, const double* q, const double* r,
+                     const double* s)
+{
+  int o1 = sgn(cutfemx_orient2d(p, q, r));
+  int o2 = sgn(cutfemx_orient2d(p, q, s));
+  int o3 = sgn(cutfemx_orient2d(r, s, p));
+  int o4 = sgn(cutfemx_orient2d(r, s, q));
+  if (o1 * o2 < 0 && o3 * o4 < 0) return true;
+  return on_seg2(p, q, r, o1) || on_seg2(p, q, s, o2)
+      || on_seg2(r, s, p, o3) || on_seg2(r, s, q, o4);
+}
+
+static bool seg_tri_coplanar(const double* p, const double* q,
+                             const double* a, const double* b,
+                             const double* c)
+{
+  int drop = dominant_axis(a, b, c);
+  double P[2], Q[2], A[2], B[2], C[2];
+  proj2(p, drop, P);
+  proj2(q, drop, Q);
+  proj2(a, drop, A);
+  proj2(b, drop, B);
+  proj2(c, drop, C);
+  if (pt_in_tri2(P, A, B, C) || pt_in_tri2(Q, A, B, C)) return true;
+  return seg_seg2(P, Q, A, B) || seg_seg2(P, Q, B, C)
+      || seg_seg2(P, Q, C, A);
+}
+
+// closed segment pq vs closed triangle abc
+int cutfemx_seg_tri_isect(const double* p, const double* q, const double* a,
+                          const double* b, const double* c)
+{
+  int sp = sgn(cutfemx_orient3d(a, b, c, p));
+  int sq = sgn(cutfemx_orient3d(a, b, c, q));
+  if ((sp > 0 && sq > 0) || (sp < 0 && sq < 0)) return 0;
+  if (sp == 0 && sq == 0) return seg_tri_coplanar(p, q, a, b, c) ? 1 : 0;
+  int s1 = sgn(cutfemx_orient3d(p, q, a, b));
+  int s2 = sgn(cutfemx_orient3d(p, q, b, c));
+  int s3 = sgn(cutfemx_orient3d(p, q, c, a));
+  return ((s1 >= 0 && s2 >= 0 && s3 >= 0)
+          || (s1 <= 0 && s2 <= 0 && s3 <= 0)) ? 1 : 0;
+}
+
+static bool tri_tri_coplanar(const double* t1, const double* t2)
+{
+  int drop = dominant_axis(t2, t2 + 3, t2 + 6);
+  double A[3][2], B[3][2];
+  for (int i = 0; i < 3; ++i)
+  {
+    proj2(t1 + 3 * i, drop, A[i]);
+    proj2(t2 + 3 * i, drop, B[i]);
+  }
+  for (int i = 0; i < 3; ++i)
+    if (pt_in_tri2(A[i], B[0], B[1], B[2])
+        || pt_in_tri2(B[i], A[0], A[1], A[2]))
+      return true;
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j)
+      if (seg_seg2(A[i], A[(i + 1) % 3], B[j], B[(j + 1) % 3]))
+        return true;
+  return false;
+}
+
+// closed triangle t1 (9 doubles) vs closed triangle t2
+int cutfemx_tri_tri_isect(const double* t1, const double* t2)
+{
+  int s[3], r[3];
+  for (int i = 0; i < 3; ++i)
+    s[i] = sgn(cutfemx_orient3d(t2, t2 + 3, t2 + 6, t1 + 3 * i));
+  if ((s[0] > 0 && s[1] > 0 && s[2] > 0)
+      || (s[0] < 0 && s[1] < 0 && s[2] < 0))
+    return 0;
+  for (int i = 0; i < 3; ++i)
+    r[i] = sgn(cutfemx_orient3d(t1, t1 + 3, t1 + 6, t2 + 3 * i));
+  if ((r[0] > 0 && r[1] > 0 && r[2] > 0)
+      || (r[0] < 0 && r[1] < 0 && r[2] < 0))
+    return 0;
+  if (s[0] == 0 && s[1] == 0 && s[2] == 0)
+    return tri_tri_coplanar(t1, t2) ? 1 : 0;
+  // non-coplanar: some edge of one triangle must cross the other
+  for (int i = 0; i < 3; ++i)
+  {
+    if (cutfemx_seg_tri_isect(t1 + 3 * i, t1 + 3 * ((i + 1) % 3),
+                              t2, t2 + 3, t2 + 6))
+      return 1;
+    if (cutfemx_seg_tri_isect(t2 + 3 * i, t2 + 3 * ((i + 1) % 3),
+                              t1, t1 + 3, t1 + 6))
+      return 1;
+  }
+  return 0;
+}
+
+void cutfemx_seg_tri_isect_batch(const double* segs, const double* tris,
+                                 int64_t n, uint8_t* out)
+{
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = (uint8_t)cutfemx_seg_tri_isect(
+        segs + 6 * i, segs + 6 * i + 3, tris + 9 * i, tris + 9 * i + 3,
+        tris + 9 * i + 6);
+}
+
+void cutfemx_tri_tri_isect_batch(const double* t1, const double* t2,
+                                 int64_t n, uint8_t* out)
+{
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = (uint8_t)cutfemx_tri_tri_isect(t1 + 9 * i, t2 + 9 * i);
 }
 
 }  // extern "C"
