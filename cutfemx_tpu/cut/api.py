@@ -30,9 +30,10 @@ def _normalize_level_sets(level_set):
         return [level_set]
     if isinstance(level_set, Sequence) and not isinstance(level_set, str):
         out = list(level_set)
-        if not out or not all(isinstance(f, Function) for f in out):
-            raise TypeError("cut expects a Function or a non-empty sequence "
-                            "of Functions")
+        if not out:
+            raise ValueError("cut requires at least one level-set Function")
+        if not all(isinstance(f, Function) for f in out):
+            raise TypeError("cut sequence entries must be Functions")
         return out
     raise TypeError("cut expects a Function or a sequence of Functions")
 
@@ -273,8 +274,14 @@ def create_cut_mesh(cut_data: CutData, ls_part: str, mode=None) -> CutMesh:
     phi = cut_data.level_sets[idx]
     mesh = cut_data.mesh
     tdim = mesh.tdim
+    if op == "=" and mode == "full":
+        raise ValueError(
+            "mode='full' is not valid for interface parts ('=' selector)")
+    if cut_data.hosted_dim == tdim - 1:
+        return _create_facet_cut_mesh(cut_data, idx, op, mode)
     if cut_data.hosted_dim != tdim:
-        raise NotImplementedError("cut meshes require cell-hosted CutData")
+        raise NotImplementedError("cut meshes require cell- or facet-hosted "
+                                  "CutData")
     if mode == "auto":
         mode = "cut_only" if op == "=" else "full"
 
@@ -342,6 +349,78 @@ def create_cut_mesh(cut_data: CutData, ls_part: str, mode=None) -> CutMesh:
     cells = np.concatenate(cells_out)
     out_dim = tdim - 1 if op == "=" else tdim
     vis = Mesh(verts, cells, _SIMPLEX_OF_DIM[out_dim])
+    return CutMesh(vis, np.concatenate(parents), np.concatenate(iscut))
+
+
+def _create_facet_cut_mesh(cut_data, idx, op, mode):
+    """Visualisation mesh of cut parts hosted on (simplex) facets — the
+    facet-entities branch of the reference's create_cut_mesh
+    (test_cut_api.py:256-287). Marches directly on facet vertices (exact
+    for P1 level sets; vertex dofs lead the Lagrange numbering)."""
+    import jax.numpy as jnp  # noqa: F811
+
+    mesh = cut_data.mesh
+    tdim = mesh.tdim
+    k = tdim - 1
+    phi = cut_data.level_sets[idx]
+    if mesh.facets.shape[1] != k + 1:
+        raise NotImplementedError(
+            "facet-hosted cut meshes support simplex facets")
+    out_dim = k - 1 if op == "=" else k
+    if out_dim < 1:
+        raise NotImplementedError(
+            "facet interface parts in 2D are point sets, not meshes")
+    if mode == "auto":
+        mode = "cut_only" if op == "=" else "full"
+    VOL, SURF = simplex_cut_tables(k)
+    ents = cut_data.hosted_entities
+    dom = cut_data.domains[idx]
+    cut_facets = ents[dom == DOMAIN_INTERSECTED]
+    vertex_vals = np.asarray(phi.x)[:mesh.num_vertices]
+
+    verts_out, cells_out, parents, iscut = [], [], [], []
+    nv_off = 0
+
+    def add_parts(X, valid, parent_facets, cut_flag):
+        nonlocal nv_off
+        Xn, vn = np.asarray(X), np.asarray(valid)
+        sel = np.nonzero(vn)
+        npart = len(sel[0])
+        if npart == 0:
+            return
+        pv = Xn[sel[0], sel[1]]
+        g = pv.shape[-1]
+        m = pv.shape[1]
+        verts_out.append(pv.reshape(-1, g))
+        cells_out.append((np.arange(npart * m) + nv_off).reshape(npart, m))
+        nv_off += npart * m
+        parents.append(parent_facets[sel[0]])
+        iscut.append(np.full(npart, cut_flag, np.int8))
+
+    if len(cut_facets):
+        fv = mesh.facets[cut_facets]
+        coords = jnp.asarray(mesh.vertices[fv])
+        ph = jnp.asarray(vertex_vals[fv])
+        if op == "=":
+            X, valid = _march_parts(ph, coords, k, SURF)
+        else:
+            sgn = -1.0 if op in (">", ">=") else 1.0
+            X, valid = _march_parts(sgn * ph, coords, k, VOL)
+        add_parts(X, valid, cut_facets, 1)
+
+    if mode == "full" and op != "=":
+        from .selector import DOMAIN_INSIDE, DOMAIN_OUTSIDE
+        want = DOMAIN_INSIDE if op in ("<", "<=") else DOMAIN_OUTSIDE
+        full_f = ents[dom == want]
+        if len(full_f):
+            coords = mesh.vertices[mesh.facets[full_f]]
+            add_parts(coords[:, None, :, :],
+                      np.ones((len(full_f), 1), bool), full_f, 0)
+
+    if not verts_out:
+        return CutMesh(None, np.zeros(0, np.int32), np.zeros(0, np.int8))
+    vis = Mesh(np.concatenate(verts_out), np.concatenate(cells_out),
+               _SIMPLEX_OF_DIM[out_dim])
     return CutMesh(vis, np.concatenate(parents), np.concatenate(iscut))
 
 

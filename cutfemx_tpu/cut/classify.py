@@ -96,7 +96,7 @@ def frozen_level_set_names(level_sets):
             real.append(name)
     used = set(n for n in real if n)
     if len(used) != len([n for n in real if n]):
-        raise ValueError("duplicate level-set names")
+        raise ValueError("Duplicate level-set function name")
     names = []
     for i, name in enumerate(real):
         if name:

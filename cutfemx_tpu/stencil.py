@@ -152,26 +152,38 @@ class StencilCutOperator:
         # dof -> (channel, lattice coords) grids
         self._build_grid_maps(V, mesh, lo, h_axes)
 
-        # element path: all other instances + leftover standard cells
+        # element path: all other instances + leftover standard cells,
+        # run through the same merge + interior-facet dof compression as
+        # CutOperator (the raw ghost-penalty batches alone are ~30x more
+        # gathered elements than the compressed plan)
+        from .fem import _build_apply_arrays
         op_rest = CutOperator(form, domain)
-        mats, rows = [], []
+        mats, rows, cols, itypes = [], [], [], []
         for i, inst in enumerate(form.instances):
-            Ae = np.asarray(op_rest.element_matrices[i])
+            Ae = op_rest.element_matrices[i]
             rr = np.asarray(op_rest.row_dofs[i])
+            cc = np.asarray(op_rest.col_dofs[i])
             if i == std_idx:
                 keep = np.isin(np.asarray(inst.rows_cells),
                                leftover_cells)
                 keep &= np.asarray(inst.data["mask"]) > 0
                 if keep.any():
-                    mats.append(jnp.asarray(Ae[keep]))
-                    rows.append(jnp.asarray(rr[keep]))
+                    mats.append(jnp.asarray(np.asarray(Ae)[keep]))
+                    rows.append(rr[keep])
+                    cols.append(cc[keep])
+                    itypes.append(inst.itype)
             else:
-                mats.append(jnp.asarray(Ae))
-                rows.append(jnp.asarray(rr))
-        self.rest_mats = tuple(mats)
-        self.rest_rows = tuple(rows)
-        flat = np.concatenate([np.asarray(r).ravel() for r in rows]) if \
-            rows else np.zeros(0, np.int64)
+                mats.append(Ae)
+                rows.append(rr)
+                cols.append(cc)
+                itypes.append(inst.itype)
+        mats_m, rows_m, cols_m = _build_apply_arrays(mats, rows, cols,
+                                                     itypes)
+        self.rest_mats = tuple(jnp.asarray(m) for m in mats_m)
+        self.rest_rows = tuple(jnp.asarray(r) for r in rows_m)
+        self.rest_cols = tuple(jnp.asarray(c) for c in cols_m)
+        flat = np.concatenate([np.asarray(r).ravel() for r in rows_m]) if \
+            rows_m else np.zeros(0, np.int64)
         perm = np.argsort(flat, kind="stable")
         self._perm = jnp.asarray(perm.astype(np.int32))
         self._sorted = jnp.asarray(flat[perm].astype(np.int32))
@@ -188,7 +200,9 @@ class StencilCutOperator:
         self.gsize = nch * self.N ** 3
         d2g = np.asarray(self.dof_to_grid)
         self.rest_rows_grid = tuple(
-            jnp.asarray(d2g[np.asarray(r)]) for r in rows)
+            jnp.asarray(d2g[np.asarray(r)]) for r in rows_m)
+        self.rest_cols_grid = tuple(
+            jnp.asarray(d2g[np.asarray(c)]) for c in cols_m)
         gflat = d2g[flat] if len(flat) else np.zeros(0, np.int64)
         gperm = np.argsort(gflat, kind="stable")
         self._permg = jnp.asarray(gperm.astype(np.int32))
@@ -315,11 +329,12 @@ class StencilCutOperator:
             Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(
                 jnp.where(self.cube_mask_j, dloc[s], 0.0))
         d = Y.reshape(-1)[self.dof_to_grid]
-        for Ae, rr in zip(self.rest_mats, self.rest_rows):
+        for Ae, rr, cc in zip(self.rest_mats, self.rest_rows,
+                              self.rest_cols):
             # interior-facet elements repeat shared facet dofs on both
             # sides: sum every (i, j) entry whose row and column map to
             # the same global dof
-            eq = rr[:, :, None] == rr[:, None, :]
+            eq = rr[:, :, None] == cc[:, None, :]
             contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
             d = d.at[rr.ravel()].add(contrib.ravel())
         if self.active is not None:
@@ -336,8 +351,9 @@ class StencilCutOperator:
             Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(
                 jnp.where(self.cube_mask_j, dloc[s], 0.0))
         d = Y.reshape(-1)
-        for Ae, rg in zip(self.rest_mats, self.rest_rows_grid):
-            eq = rg[:, :, None] == rg[:, None, :]
+        for Ae, rg, cg in zip(self.rest_mats, self.rest_rows_grid,
+                              self.rest_cols_grid):
+            eq = rg[:, :, None] == cg[:, None, :]
             contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
             d = d.at[rg.ravel()].add(contrib.ravel())
         return jnp.where(self.active_grid, d, 1.0)
@@ -381,8 +397,8 @@ def _stencil_apply_grid(op: StencilCutOperator, Xf):
     Yf = Y.reshape(-1)
     if op.rest_mats:
         parts2 = []
-        for Ae, rg in zip(op.rest_mats, op.rest_rows_grid):
-            xe = Xin[rg]
+        for Ae, cg in zip(op.rest_mats, op.rest_cols_grid):
+            xe = Xin[cg]
             parts2.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
         flat = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
         Yf = Yf + jax.ops.segment_sum(flat[op._permg], op._sortedg,
