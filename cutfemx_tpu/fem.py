@@ -451,10 +451,108 @@ def apply_lifting(b, a_forms, bcs_lists, scale=1.0):
 
 
 def form(form_expr, dtype=None):
+    """Compile a form expression. Mixed-space forms (arguments created
+    through TrialFunctions/TestFunctions of a MixedFunctionSpace) compile
+    monolithically into a MixedCutForm whose assemble_matrix /
+    assemble_vector produce block-composed outputs — the reference's
+    UFL-mixed + PETSc-nest path (petsc.py:330-344) without requiring
+    fem.extract_blocks."""
+    if not isinstance(form_expr, FormExpr):
+        raise TypeError("form() expects expr * measure (a FormExpr)")
+    keys = {}
+    for itg in form_expr.integrals:
+        keys.update(extract_arguments(itg.integrand))
+    if any(part is not None for (_, part) in keys):
+        return MixedCutForm(form_expr, dtype=dtype)
     return CutForm(form_expr, dtype=dtype)
 
 
 cut_form = form
+
+
+class MixedCutForm:
+    """Monolithic view of a mixed-space form: block CutForms plus the
+    concatenated dof layout [part0 | part1 | ...]."""
+
+    def __init__(self, form_expr, dtype=None):
+        keys = {}
+        for itg in form_expr.integrals:
+            keys.update(extract_arguments(itg.integrand))
+        if any(part is None for (_, part) in keys):
+            raise ValueError(
+                "mixed forms must build every argument from a "
+                "MixedFunctionSpace (no part-less arguments)")
+        self.rank = len({num for (num, _) in keys})
+
+        def layout(num):
+            args = [a for k, a in keys.items() if k[0] == num]
+            if not args:
+                return []
+            W = next((a.mixed for a in args if getattr(a, "mixed", None)
+                      is not None), None)
+            if W is not None:
+                return list(W.spaces)
+            parts = sorted(k[1] for k in keys if k[0] == num)
+            return [keys[(num, p)].space for p in parts]
+
+        self.test_spaces = layout(0)
+        self.trial_spaces = layout(1) if self.rank == 2 else []
+
+        def make(block):
+            f = CutForm(form_expr, dtype=dtype, block=block)
+            return f if f.instances else None
+
+        nt = len(self.test_spaces)
+        if self.rank == 1:
+            self.blocks = tuple(
+                make((i, None)) if (0, i) in keys else None
+                for i in range(nt))
+        else:
+            nu = len(self.trial_spaces)
+            self.blocks = tuple(tuple(
+                make((i, j)) if ((0, i) in keys and (1, j) in keys)
+                else None for j in range(nu)) for i in range(nt))
+        self.test_offsets = np.concatenate(
+            [[0], np.cumsum([sp.dim for sp in self.test_spaces])]).astype(
+                np.int64)
+        self.trial_offsets = np.concatenate(
+            [[0], np.cumsum([sp.dim for sp in self.trial_spaces])]).astype(
+                np.int64) if self.rank == 2 else None
+        some = next(b for b in _flat(self.blocks) if b is not None)
+        self.dtype = some.dtype
+        self.mesh = some.mesh
+
+    @property
+    def dim(self):
+        return int(self.test_offsets[-1])
+
+
+def _flat(blocks):
+    for b in blocks:
+        if isinstance(b, tuple):
+            yield from _flat(b)
+        else:
+            yield b
+
+
+@dataclass
+class MixedActiveDomain:
+    """Per-part active domains with monolithic offsets."""
+    domains: list
+    offsets: np.ndarray
+
+    @property
+    def inactive_dofs(self):
+        return np.concatenate([
+            d.inactive_dofs + off
+            for d, off in zip(self.domains, self.offsets[:-1])])
+
+    @property
+    def active_mask(self):
+        return np.concatenate([d.active_mask for d in self.domains])
+
+    def sub(self, i):
+        return self.domains[i]
 
 
 def derivative(residual_expr, u, du=None):
@@ -542,7 +640,14 @@ def assemble_scalar(f: CutForm):
     return total
 
 
-def assemble_vector(f: CutForm):
+def assemble_vector(f):
+    if isinstance(f, MixedCutForm):
+        if f.rank != 1:
+            raise ValueError("assemble_vector requires a rank-1 form")
+        parts = [assemble_vector(b) if b is not None
+                 else jnp.zeros(sp.dim, f.dtype)
+                 for b, sp in zip(f.blocks, f.test_spaces)]
+        return jnp.concatenate(parts)
     if f.rank != 1:
         raise ValueError("assemble_vector requires a rank-1 form")
     V = f.test_space
@@ -571,6 +676,23 @@ def assemble_matrix(f: CutForm, bcs=None, extension_terms=None):
     convention; pair with apply_lifting + set_bc). ``extension_terms``
     adds aggregation extension penalties (the reference's
     assemble_matrix(..., extension_terms=...), fem.py:887)."""
+    if isinstance(f, MixedCutForm):
+        if bcs or extension_terms:
+            raise NotImplementedError(
+                "bcs/extension_terms with monolithic mixed forms: apply "
+                "them per block via extract_blocks")
+        import scipy.sparse as sps
+        grid = []
+        for i, row in enumerate(f.blocks):
+            r = []
+            for j, blk in enumerate(row):
+                if blk is None:
+                    r.append(sps.csr_matrix(
+                        (f.test_spaces[i].dim, f.trial_spaces[j].dim)))
+                else:
+                    r.append(assemble_matrix(blk).to_scipy().tocsr())
+            grid.append(r)
+        return MatrixCSR(sps.bmat(grid, format="csr"))
     if f.rank != 2:
         raise ValueError("assemble_matrix requires a rank-2 form")
     V, U = f.test_space, f.trial_space
@@ -761,9 +883,28 @@ class ActiveDomain:
         return m
 
 
-def active_domain(f: CutForm, space=None) -> ActiveDomain:
+def active_domain(f, space=None):
     """Collect cells from all integral domains and mark dofs untouched by
-    any of them as inactive (deactivate.h:103-183, 388-400)."""
+    any of them as inactive (deactivate.h:103-183, 388-400). Mixed forms
+    return a MixedActiveDomain with per-part domains and monolithic
+    offsets."""
+    if isinstance(f, MixedCutForm):
+        doms = []
+        rows = f.blocks if f.rank == 2 else [(b,) for b in f.blocks]
+        for i, row in enumerate(rows):
+            blk = None
+            if f.rank == 2 and i < len(row) and row[i] is not None:
+                blk = row[i]  # prefer the diagonal block
+            else:
+                blk = next((b for b in row if b is not None), None)
+            sp = f.test_spaces[i]
+            if blk is None:
+                doms.append(ActiveDomain(
+                    sp, np.zeros(0, np.int32),
+                    np.arange(sp.dim, dtype=np.int32)))
+            else:
+                doms.append(active_domain(blk, space=sp))
+        return MixedActiveDomain(doms, f.test_offsets)
     V = space or f.test_space or f.trial_space
     if V is None:
         raise ValueError("active_domain requires a form with arguments")

@@ -124,10 +124,11 @@ class Argument(Expr):
     """Trial (number=1) or test (number=0) function. ``part`` indexes the
     sub-space in a mixed (block) form; None for plain forms."""
 
-    def __init__(self, space, number, part=None):
+    def __init__(self, space, number, part=None, mixed=None):
         self.space = space
         self.number = number
         self.part = part
+        self.mixed = mixed  # owning MixedFunctionSpace for block forms
         self.shape = space.value_shape
 
     @property
@@ -163,13 +164,30 @@ class MixedFunctionSpace:
     def __len__(self):
         return len(self.spaces)
 
+    @property
+    def offsets(self):
+        """Monolithic dof offsets: part i occupies
+        [offsets[i], offsets[i+1])."""
+        import numpy as _np
+        return _np.concatenate([[0], _np.cumsum(
+            [sp.dim for sp in self.spaces])]).astype(_np.int64)
+
+    @property
+    def dim(self):
+        return int(sum(sp.dim for sp in self.spaces))
+
+    def sub(self, i):
+        return self.spaces[i]
+
 
 def TrialFunctions(W: MixedFunctionSpace):
-    return tuple(Argument(sp, 1, part=i) for i, sp in enumerate(W.spaces))
+    return tuple(Argument(sp, 1, part=i, mixed=W)
+                 for i, sp in enumerate(W.spaces))
 
 
 def TestFunctions(W: MixedFunctionSpace):
-    return tuple(Argument(sp, 0, part=i) for i, sp in enumerate(W.spaces))
+    return tuple(Argument(sp, 0, part=i, mixed=W)
+                 for i, sp in enumerate(W.spaces))
 
 
 class CoefficientExpr(Expr):
