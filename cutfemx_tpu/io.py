@@ -1,16 +1,25 @@
-"""Mesh/solution output.
+"""Mesh IO.
 
-The reference persists results via DOLFINx XDMF and VTK writers
-(demo_poisson.py:75-125, stl/surface.h:40). Here: a dependency-free VTU
-(XML unstructured grid) writer for meshes, Functions, and cut
-visualisation meshes — readable by ParaView/VisIt.
+The reference rides DOLFINx IO: XDMF/VTK writers and gmsh/XDMF mesh
+import (demo_poisson.py:75-125, stl/surface.h:40). Here, dependency-free
+equivalents:
+
+- ``write_vtu`` / ``write_cut_mesh``: VTU (XML unstructured grid) output
+  readable by ParaView/VisIt;
+- ``read_gmsh``: gmsh ``.msh`` ASCII reader (formats 2.2 and 4.1) with
+  physical cell tags;
+- ``write_xdmf`` / ``read_xdmf``: XDMF with inline-XML data items
+  (round-trips meshes + vertex fields without HDF5).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
-__all__ = ["write_vtu", "write_cut_mesh"]
+__all__ = ["write_vtu", "write_cut_mesh", "read_gmsh", "write_xdmf",
+           "read_xdmf", "MeshTags"]
 
 _VTK_TYPE = {
     "interval": 3,       # VTK_LINE
@@ -110,3 +119,273 @@ def write_cut_mesh(path, cut_mesh, functions=None):
                  "is_cut_cell": cut_mesh.is_cut_cell.astype(float)}
     write_vtu(path, cut_mesh.mesh, point_data=point_data,
               cell_data=cell_data)
+
+
+# -- gmsh import ---------------------------------------------------------------
+
+# gmsh element type -> (cell_type, nv, permutation gmsh -> package order)
+_GMSH_TYPES = {
+    1: ("interval", 2, [0, 1]),
+    2: ("triangle", 3, [0, 1, 2]),
+    3: ("quadrilateral", 4, [0, 1, 3, 2]),   # ccw -> lexicographic
+    4: ("tetrahedron", 4, [0, 1, 2, 3]),
+    5: ("hexahedron", 8, [0, 1, 3, 2, 4, 5, 7, 6]),
+}
+
+_DIM_OF_CELL = {"interval": 1, "triangle": 2, "quadrilateral": 2,
+                "tetrahedron": 3, "hexahedron": 3}
+
+
+@dataclass
+class MeshTags:
+    """Entity markers (the DOLFINx MeshTags role): parallel arrays of
+    entity indices and integer tag values for entities of dim ``dim``."""
+    dim: int
+    indices: np.ndarray
+    values: np.ndarray
+
+    def find(self, value):
+        return self.indices[self.values == int(value)]
+
+
+def read_gmsh(path):
+    """Read a gmsh ``.msh`` ASCII file (MshFileVersion 2.2 or 4.1).
+
+    Returns ``(mesh, cell_tags, facet_tags)`` — the DOLFINx
+    gmshio.read_from_msh contract. Cells of the highest topological
+    dimension become the mesh; physical tags on those cells (and on
+    codim-1 entities) become MeshTags (facet indices are resolved
+    against the mesh's facet list; untagged -> empty tags)."""
+    with open(path) as f:
+        text = f.read()
+
+    def section(name):
+        start = text.find(f"${name}\n")
+        if start < 0:
+            return None
+        start += len(name) + 2
+        end = text.find(f"$End{name}", start)
+        return text[start:end].strip("\n")
+
+    fmt = section("MeshFormat").split()
+    version = float(fmt[0])
+    if int(fmt[1]) != 0:
+        raise NotImplementedError("binary .msh files are not supported")
+
+    if version >= 4.0:
+        nodes_xyz, node_ids, blocks = _read_msh4(section)
+    else:
+        nodes_xyz, node_ids, blocks = _read_msh2(section)
+
+    id_to_idx = {int(t): i for i, t in enumerate(node_ids)}
+
+    # group by cell type
+    by_type = {}
+    for (etype, tag, conn) in blocks:
+        if etype not in _GMSH_TYPES:
+            continue
+        ct, nv, perm = _GMSH_TYPES[etype]
+        idx = np.vectorize(id_to_idx.__getitem__)(conn)[:, perm]
+        by_type.setdefault(ct, []).append((tag, idx))
+
+    if not by_type:
+        raise ValueError("no supported elements in .msh file")
+    tdim = max(_DIM_OF_CELL[ct] for ct in by_type)
+    cell_types = [ct for ct in by_type if _DIM_OF_CELL[ct] == tdim]
+    if len(cell_types) != 1:
+        raise NotImplementedError(
+            f"mixed cell types of dim {tdim}: {cell_types}")
+    ct = cell_types[0]
+    cells = np.concatenate([c for _, c in by_type[ct]])
+    ctags = np.concatenate([np.full(len(c), t, np.int32)
+                            for t, c in by_type[ct]])
+
+    gdim = 3 if np.abs(nodes_xyz[:, 2]).max() > 0 else (
+        2 if tdim >= 2 else tdim)
+    gdim = max(gdim, tdim)
+    from .mesh import Mesh
+    mesh = Mesh(nodes_xyz[:, :gdim], cells.astype(np.int32), ct)
+    cell_tags = MeshTags(tdim, np.arange(mesh.num_cells, dtype=np.int32),
+                         ctags)
+
+    # facet tags: match tagged codim-1 entities against mesh facets
+    fct = [c for c in by_type if _DIM_OF_CELL[c] == tdim - 1]
+    if fct:
+        fverts = np.concatenate([c for _, c in by_type[fct[0]]])
+        fvals = np.concatenate([np.full(len(c), t, np.int32)
+                                for t, c in by_type[fct[0]]])
+        key = np.sort(fverts, axis=1)
+        mf = mesh.facets  # sorted rows
+        # locate each tagged facet among mesh facets (lexicographic)
+        order = np.lexsort(mf.T[::-1])
+        mfs = mf[order]
+        pos = np.zeros(len(key), np.int64)
+        ok = np.ones(len(key), bool)
+        for j, k in enumerate(key):
+            lo = np.searchsorted(mfs[:, 0], k[0], side="left")
+            hi = np.searchsorted(mfs[:, 0], k[0], side="right")
+            hit = np.flatnonzero((mfs[lo:hi] == k).all(axis=1))
+            if len(hit):
+                pos[j] = order[lo + hit[0]]
+            else:
+                ok[j] = False
+        facet_tags = MeshTags(tdim - 1, pos[ok].astype(np.int32),
+                              fvals[ok])
+    else:
+        facet_tags = MeshTags(tdim - 1, np.zeros(0, np.int32),
+                              np.zeros(0, np.int32))
+    return mesh, cell_tags, facet_tags
+
+
+def _read_msh2(section):
+    lines = section("Nodes").splitlines()
+    n = int(lines[0])
+    dat = np.array([ln.split() for ln in lines[1:n + 1]], dtype=np.float64)
+    node_ids = dat[:, 0].astype(np.int64)
+    xyz = dat[:, 1:4]
+
+    elines = section("Elements").splitlines()
+    ne = int(elines[0])
+    blocks = {}
+    for ln in elines[1:ne + 1]:
+        parts = [int(p) for p in ln.split()]
+        etype, ntags = parts[1], parts[2]
+        phys = parts[3] if ntags >= 1 else 0
+        conn = parts[3 + ntags:]
+        blocks.setdefault((etype, phys), []).append(conn)
+    out = [(etype, phys, np.asarray(conns, np.int64))
+           for (etype, phys), conns in blocks.items()]
+    return xyz, node_ids, out
+
+
+def _read_msh4(section):
+    # physical tag per (dim, entityTag) from $Entities
+    phys_of = {}
+    ent = section("Entities")
+    if ent is not None:
+        lines = ent.splitlines()
+        counts = [int(v) for v in lines[0].split()]
+        k = 1
+        for dim, cnt in enumerate(counts):
+            for _ in range(cnt):
+                parts = lines[k].split()
+                k += 1
+                tag = int(parts[0])
+                nbox = 3 if dim == 0 else 6
+                nphys = int(parts[1 + nbox])
+                if nphys:
+                    phys_of[(dim, tag)] = int(parts[2 + nbox])
+
+    nlines = section("Nodes").splitlines()
+    nblocks = int(nlines[0].split()[0])
+    ids, coords = [], []
+    k = 1
+    for _ in range(nblocks):
+        _, _, _, nn = (int(v) for v in nlines[k].split())
+        k += 1
+        ids.extend(int(nlines[k + i]) for i in range(nn))
+        k += nn
+        for i in range(nn):
+            coords.append([float(v) for v in nlines[k + i].split()[:3]])
+        k += nn
+    xyz = np.asarray(coords, np.float64)
+    node_ids = np.asarray(ids, np.int64)
+
+    elines = section("Elements").splitlines()
+    eblocks = int(elines[0].split()[0])
+    out = []
+    k = 1
+    for _ in range(eblocks):
+        dim, etag, etype, nn = (int(v) for v in elines[k].split())
+        k += 1
+        conn = np.array([[int(v) for v in elines[k + i].split()[1:]]
+                         for i in range(nn)], np.int64)
+        k += nn
+        out.append((etype, phys_of.get((dim, etag), etag), conn))
+    return xyz, node_ids, out
+
+
+# -- XDMF (inline-XML data items) ---------------------------------------------
+
+_XDMF_TOPO = {"interval": "Polyline", "triangle": "Triangle",
+              "quadrilateral": "Quadrilateral",
+              "tetrahedron": "Tetrahedron", "hexahedron": "Hexahedron"}
+_TOPO_XDMF = {v: k for k, v in _XDMF_TOPO.items()}
+
+
+def write_xdmf(path, mesh, point_data=None):
+    """Write a mesh (+ per-vertex scalar/vector fields) as XDMF with
+    inline data items (the reference's XDMFFile role without HDF5)."""
+    cells = mesh.cells
+    if mesh.cell_type == "quadrilateral":
+        cells = cells[:, [0, 1, 3, 2]]
+    elif mesh.cell_type == "hexahedron":
+        cells = cells[:, [0, 1, 3, 2, 4, 5, 7, 6]]
+    nv = mesh.num_vertices
+    pts = np.zeros((nv, 3))
+    pts[:, :mesh.gdim] = mesh.vertices
+
+    def fmt(a):
+        return " ".join(f"{v:.12g}" for v in np.asarray(a).ravel())
+
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n<Xdmf Version="3.0">\n'
+                '<Domain>\n<Grid Name="mesh" GridType="Uniform">\n')
+        f.write(f'<Topology TopologyType="{_XDMF_TOPO[mesh.cell_type]}" '
+                f'NumberOfElements="{mesh.num_cells}"')
+        if mesh.cell_type == "interval":
+            f.write(' NodesPerElement="2"')
+        f.write('>\n<DataItem Dimensions='
+                f'"{mesh.num_cells} {cells.shape[1]}" Format="XML">\n')
+        f.write(fmt(cells))
+        f.write('\n</DataItem>\n</Topology>\n')
+        f.write('<Geometry GeometryType="XYZ">\n<DataItem '
+                f'Dimensions="{nv} 3" Format="XML">\n')
+        f.write(fmt(pts))
+        f.write('\n</DataItem>\n</Geometry>\n')
+        for name, arr in (point_data or {}).items():
+            a = np.asarray(arr)
+            ncomp = 1 if a.ndim == 1 else a.shape[1]
+            atype = "Scalar" if ncomp == 1 else "Vector"
+            f.write(f'<Attribute Name="{name}" AttributeType="{atype}" '
+                    'Center="Node">\n<DataItem Dimensions='
+                    f'"{nv} {ncomp}" Format="XML">\n')
+            f.write(fmt(a))
+            f.write('\n</DataItem>\n</Attribute>\n')
+        f.write('</Grid>\n</Domain>\n</Xdmf>\n')
+
+
+def read_xdmf(path):
+    """Read an inline-XML XDMF mesh written by write_xdmf (or compatible).
+    Returns (mesh, point_data dict)."""
+    import xml.etree.ElementTree as ET
+
+    from .mesh import Mesh
+    root = ET.parse(path).getroot()
+    grid = root.find(".//Grid")
+    topo = grid.find("Topology")
+    ct = _TOPO_XDMF[topo.get("TopologyType")]
+    conn = np.fromstring(topo.find("DataItem").text, sep=" ",
+                         dtype=np.int64)
+    nv_cell = {"interval": 2, "triangle": 3, "quadrilateral": 4,
+               "tetrahedron": 4, "hexahedron": 8}[ct]
+    cells = conn.reshape(-1, nv_cell)
+    if ct == "quadrilateral":
+        cells = cells[:, [0, 1, 3, 2]]
+    elif ct == "hexahedron":
+        cells = cells[:, [0, 1, 3, 2, 4, 5, 7, 6]]
+    geo = grid.find("Geometry")
+    pts = np.fromstring(geo.find("DataItem").text, sep=" ").reshape(-1, 3)
+    # drop trailing zero dimensions beyond the topology's needs
+    tdim = _DIM_OF_CELL[ct]
+    gdim = 3 if np.abs(pts[:, 2]).max() > 0 else max(2, tdim) \
+        if tdim >= 2 else tdim
+    mesh = Mesh(pts[:, :gdim], cells.astype(np.int32), ct)
+    point_data = {}
+    for attr in grid.findall("Attribute"):
+        dat = np.fromstring(attr.find("DataItem").text, sep=" ")
+        dims = [int(v) for v in attr.find("DataItem").get(
+            "Dimensions").split()]
+        point_data[attr.get("Name")] = dat.reshape(dims) \
+            if dims[-1] > 1 else dat
+    return mesh, point_data
