@@ -24,7 +24,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .fim import FMMOptions, _all_candidates, build_update_stencil
 
-__all__ = ["sharded_eikonal_solve"]
+__all__ = ["sharded_eikonal_solve", "distribute_stl_sharded",
+           "sharded_signed_distance"]
 
 
 def sharded_eikonal_solve(mesh, d0, frozen, device_mesh, axis="cells",
@@ -176,3 +177,83 @@ def _sharded_fim(device_mesh, axis, nparts, om, gl, gr, inf_v, tol,
     dl, its = run(XV, XO, Lv, Lo, valid, d0l, frzl, ownl, send_l,
                   send_r, glv, grv)
     return dl, its[0]  # iteration count is uniform across shards
+
+
+# -- distributed STL routing + end-to-end sharded signed distance -------------
+
+
+def distribute_stl_sharded(mesh, soup, part, padding=None):
+    """Route triangles to slabs by padded-AABB overlap — the role of the
+    reference's stl/distribute.h:49-285 (global AABB exchange +
+    Alltoallv): each slab keeps exactly the triangles whose AABB overlaps
+    its padded cell bounding box, so every (slab cell, triangle)
+    candidate pair of the global broad phase is present locally.
+
+    Returns a list of TriSoup, one per slab (empty slabs get the empty
+    soup)."""
+    from .stl import TriSoup
+
+    if padding is None:
+        # one cell diameter: slab-cell candidates stay local
+        padding = float(mesh.cell_diameters().max())
+    tc = soup.triangle_coords()
+    tlo, thi = tc.min(axis=1), tc.max(axis=1)
+    out = []
+    for p in range(part.nparts):
+        cells = np.flatnonzero(part.cell_part == p)
+        if not len(cells):
+            out.append(TriSoup(soup.X, soup.tri[:0], soup.N[:0],
+                               soup.tri_gid[:0]))
+            continue
+        cv = mesh.cell_vertex_coords[cells].reshape(-1, mesh.gdim)
+        lo = cv.min(axis=0) - padding
+        hi = cv.max(axis=0) + padding
+        keep = ((thi[:, :mesh.gdim] >= lo)
+                & (tlo[:, :mesh.gdim] <= hi)).all(axis=1)
+        out.append(TriSoup(soup.X, soup.tri[keep], soup.N[keep],
+                           soup.tri_gid[keep]))
+    return out
+
+
+def sharded_signed_distance(mesh, soup, device_mesh, axis="cells",
+                            options: FMMOptions | None = None,
+                            padding=None):
+    """Distributed signed distance: per-slab STL routing -> per-slab exact
+    near field (owner-restricted) -> sharded FIM far field -> sign by
+    the near-band normal test with outward edge propagation (the
+    reference's parallel mode). Returns (d (NV,), iterations)."""
+    from ..functionspace import FunctionSpace
+    from ..parallel.halo import build_slab_partition
+    from .api import _near_field, _sign_local_normal_band
+    from .stl import build_cell_triangle_map
+
+    opts = options or FMMOptions()
+    nparts = device_mesh.shape[axis]
+    V1 = FunctionSpace(mesh, ("Lagrange", 1))
+    part = build_slab_partition(V1, nparts)
+    soups = distribute_stl_sharded(mesh, soup, part, padding=padding)
+
+    nv = mesh.num_vertices
+    gdim = mesh.gdim
+    d0 = np.full(nv, opts.inf)
+    closest = np.zeros((nv, gdim))
+    nrm = np.zeros((nv, gdim))
+    frozen = np.zeros(nv, bool)
+    for p in range(nparts):
+        if soups[p].num_triangles == 0:
+            continue
+        ctmap_p = build_cell_triangle_map(mesh, soups[p])
+        d0_p, fr_p, cl_p, nr_p = _near_field(mesh, soups[p], ctmap_p)
+        # owner-restricted merge (the ghost min-reduce happens inside the
+        # FIM loop; near-field values are exact per owner)
+        own = part.dof_owner == p
+        upd = own & (d0_p < d0)
+        d0[upd] = d0_p[upd]
+        closest[upd] = cl_p[upd]
+        nrm[upd] = nr_p[upd]
+        frozen |= own & fr_p
+
+    d, its = sharded_eikonal_solve(mesh, d0, frozen, device_mesh,
+                                   axis=axis, options=opts)
+    sign = _sign_local_normal_band(mesh, d, closest, nrm, frozen)
+    return sign * d, its
