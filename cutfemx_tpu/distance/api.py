@@ -344,10 +344,14 @@ def _exact_distance_to_pieces(points, pieces):
 def reinitialize(phi, options: FMMOptions | None = None):
     """Rebuild phi as a signed distance to its own zero contour
     (distance.py:154, reinitialize.h): exact near field on cut-cell
-    vertices, FIM far field, original sign restored."""
+    vertices, FIM far field, original sign restored.
+
+    Degree >= 2 level sets (the reference's higher-order target-space
+    variant): the P1 carrier solve interpolates linearly into phi's
+    space, and every dof of a cut cell is replaced by its exact distance
+    to the (refined-marching) interface pieces."""
     mesh = phi.function_space.mesh
-    if phi.function_space.degree != 1:
-        raise NotImplementedError("reinitialize supports P1 level sets")
+    V = phi.function_space
     pieces, parents, cd = _interface_soup(mesh, phi)
 
     nv = mesh.num_vertices
@@ -359,9 +363,18 @@ def reinitialize(phi, options: FMMOptions | None = None):
                                                pieces)
     frozen = d0 < inf * 0.5
     d, _, _ = eikonal_solve(mesh, d0, frozen, options)
-    sign = np.where(np.asarray(phi.x)[:nv] < 0, -1.0, 1.0)
+    d = np.asarray(d)
     out = phi.copy()
-    out.x = jnp.asarray(sign * np.asarray(d), phi.x.dtype)
+    if V.degree == 1:
+        sign = np.where(np.asarray(phi.x)[:nv] < 0, -1.0, 1.0)
+        out.x = jnp.asarray(sign * d, phi.x.dtype)
+        return out
+    vals = _interp_p1_to_space(V, d)
+    near_dofs = np.unique(V.dofmap[cut_cells].ravel())
+    vals[near_dofs] = _exact_distance_to_pieces(
+        V.dof_coordinates[near_dofs], pieces)
+    sign = np.where(np.asarray(phi.x) < 0, -1.0, 1.0)
+    out.x = jnp.asarray(sign * vals, phi.x.dtype)
     return out
 
 
@@ -462,19 +475,76 @@ def extend_normal_velocity(phi, interface_speed,
     sign = np.where(np.asarray(phi.x)[:nv] < 0, -1.0, 1.0)
     sd = _vertex_p1_function(mesh, sign * np.asarray(d), "signed_distance")
     if target_space is not None:
+        # interpolate the P1 carrier triple into the target space (and
+        # the matching vector space), distance.py:227-240
+        if target_space.mesh is not mesh:
+            raise ValueError("target_space must live on phi's mesh")
+        if target_space.value_shape:
+            raise ValueError("target_space must be scalar")
         out_s = Function(target_space, name="extended_speed")
-        out_s.interpolate(lambda x: _interp_p1(mesh, pay[:, 0], x))
-        speed_f = out_s
+        out_s.x = jnp.asarray(_interp_p1_to_space(target_space, pay[:, 0]),
+                              out_s.x.dtype)
+        Vtv = FunctionSpace(mesh, ("Lagrange", target_space.degree),
+                            shape=(gdim,))
+        out_v = Function(Vtv, name="extension_velocity")
+        comps = [_interp_p1_to_space(target_space,
+                                     (pay[:, :1] * nrm)[:, k])
+                 for k in range(gdim)]
+        out_v.x = jnp.asarray(np.stack(comps, axis=1).reshape(-1),
+                              out_v.x.dtype)
+        out_d = Function(target_space, name="signed_distance")
+        out_d.x = jnp.asarray(
+            _interp_p1_to_space(target_space, sign * np.asarray(d)),
+            out_d.x.dtype)
+        return NormalExtensionResult(out_s, out_v, out_d)
     return NormalExtensionResult(speed_f, vel, sd)
 
 
-def _interp_p1(mesh, vertex_vals, x):
-    """Evaluate a P1 vertex field at points x (gdim, N) — nearest-vertex
-    fallback for structured interpolation targets."""
-    from scipy.spatial import cKDTree
-    tree = cKDTree(mesh.vertices)
-    _, idx = tree.query(np.asarray(x).T)
-    return vertex_vals[idx]
+def _interp_p1_to_space(V, vertex_vals):
+    """Exact linear interpolation of a P1 vertex field into a scalar
+    Lagrange space on the same mesh (the reference's carrier -> target
+    interpolation, distance.py:227-240): vertex dofs copy, edge-interior
+    dofs interpolate along the (ascending) edge, face/cell-interior dofs
+    (single symmetric point, P<=3) take the entity-vertex mean."""
+    mesh = V.mesh
+    vertex_vals = np.asarray(vertex_vals)
+    if V.degree == 1 and V.family == "Lagrange":
+        return vertex_vals.copy()
+    el = V.element
+    from ..elements import lagrange_element
+    phi_geo = np.asarray(lagrange_element(mesh.cell_type, 1).tabulate(
+        el.dof_points))
+    cell = mesh.ref_cell
+    tdim = mesh.tdim
+    out = np.zeros(V.num_scalar_dofs, vertex_vals.dtype)
+    out[:mesh.num_vertices] = vertex_vals
+    for (edim, eidx), dofs in el.entity_dofs.items():
+        if edim == 0 or eidx != 0:
+            continue
+        if edim == 1 and tdim >= 2:
+            la, lb = cell.edges[0]
+            ts = phi_geo[np.asarray(dofs), lb]
+            e = mesh.edges
+            lo, hi = vertex_vals[e[:, 0]], vertex_vals[e[:, 1]]
+            n_ei = len(ts)
+            base = V._edge_off + np.arange(mesh.num_edges,
+                                           dtype=np.int64) * n_ei
+            for j, t in enumerate(ts):
+                out[base + j] = (1.0 - t) * lo + t * hi
+        elif edim == tdim - 1 and tdim == 3:
+            f = mesh.facets
+            centers = vertex_vals[f].mean(axis=1)
+            n_fi = len(dofs)
+            base = V._face_off + np.arange(mesh.num_facets,
+                                           dtype=np.int64) * n_fi
+            for j in range(n_fi):
+                out[base + j] = centers
+        elif edim == tdim or (edim == 1 and tdim == 1):
+            d = np.asarray(sorted(dofs))
+            vals = np.einsum("dk,ck->cd", phi_geo[d],
+                             vertex_vals[mesh.cells])
+            out[V.dofmap[:, d].ravel()] = vals.ravel()
+    return out
 
 
 def _eval_function_at(f, cells, points_phys):

@@ -264,3 +264,46 @@ def test_orient_surface():
     cent = fixed.X[fixed.tri].mean(axis=1)
     dots = np.einsum("ij,ij->i", fixed.N, cent)
     assert (dots > 0).all() or (dots < 0).all()
+
+
+def test_reinitialize_p2_level_set():
+    """Higher-order reinitialize (the reference's target-space variant,
+    distance.py:176-240): a distorted P2 level set with a circular zero
+    contour comes back as the signed distance, exact near the band."""
+    mesh = cfx.mesh.create_rectangle((-1, -1), (1, 1), (24, 24))
+    V = cfx.functionspace(mesh, ("Lagrange", 2))
+    phi = cfx.Function(V, name="phi")
+    r = 0.55
+    # distorted: same zero set as |x| - r, wrong slope away from it
+    phi.interpolate(lambda x: (x[0] ** 2 + x[1] ** 2 - r ** 2)
+                    * (1.0 + 0.5 * x[0] ** 2))
+    out = distance.reinitialize(phi)
+    assert out.function_space.degree == 2
+    coords = np.asarray(V.dof_coordinates)
+    exact = np.linalg.norm(coords, axis=1) - r
+    err = np.abs(np.asarray(out.x) - exact)
+    # near band: h^2-accurate marching geometry; far field: FIM accuracy
+    h = 2.0 / 24
+    assert np.median(err) < 0.5 * h ** 2 * 10
+    assert err.max() < 0.12 * r
+
+
+def test_extend_normal_velocity_target_space():
+    mesh = cfx.mesh.create_rectangle((-1, -1), (1, 1), (16, 16))
+    V1 = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(V1, name="phi")
+    phi.interpolate(lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2) - 0.5)
+    speed = cfx.Function(V1, name="s")
+    speed.interpolate(lambda x: 1.0 + 0.0 * x[0])
+    V2 = cfx.functionspace(mesh, ("Lagrange", 2))
+    res = distance.extend_normal_velocity(phi, speed, target_space=V2)
+    assert res.speed.function_space is V2
+    assert res.velocity.function_space.degree == 2
+    assert res.signed_distance.function_space is V2
+    # constant unit speed extends to ~1 everywhere
+    s = np.asarray(res.speed.x)
+    assert np.abs(s - 1.0).max() < 0.05
+    # velocity magnitude ~ 1 where defined
+    v = np.asarray(res.velocity.x).reshape(-1, 2)
+    mag = np.linalg.norm(v, axis=1)
+    assert np.abs(np.median(mag) - 1.0) < 0.05
