@@ -73,3 +73,51 @@ def assemble_extension_penalty(A, V, cut_data, aggregation, beta=None,
                                quadrature_degree=None):
     from .extensions import assemble_extension_penalty as _aep
     return _aep(A, V, cut_data, aggregation, beta, quadrature_degree)
+
+
+def assemble_matrix_nest(form_expr_or_blocks, petsc=False):
+    """Assemble a mixed form into block ("nest") structure: a nested list
+    of per-block matrices with None for empty blocks (the reference's
+    assemble_matrix_nest, petsc.py:330-344). Accepts a mixed form
+    expression, a MixedCutForm, or an extract_blocks grid. With
+    petsc=True and petsc4py present, returns a PETSc MatNest."""
+    if isinstance(form_expr_or_blocks, _fem.MixedCutForm):
+        blocks = form_expr_or_blocks.blocks
+    elif isinstance(form_expr_or_blocks, (list, tuple)) and \
+            form_expr_or_blocks and isinstance(form_expr_or_blocks[0],
+                                               (list, tuple)):
+        blocks = form_expr_or_blocks
+    else:
+        blocks = _fem.extract_blocks(form_expr_or_blocks)
+    A = [[_fem.assemble_matrix(blk) if blk is not None else None
+          for blk in row] for row in blocks]
+    if not petsc:
+        return A
+    if not _have_petsc():
+        raise RuntimeError("petsc4py is not available in this environment")
+    from petsc4py import PETSc
+    mats = [[to_petsc(blk) if blk is not None else None for blk in row]
+            for row in A]
+    return PETSc.Mat().createNest(mats)
+
+
+def assemble_vector_nest(form_expr_or_blocks, spaces=None):
+    """Assemble a mixed rank-1 form into per-block vectors (zero-filled
+    for absent blocks when the owning spaces are known)."""
+    if isinstance(form_expr_or_blocks, _fem.MixedCutForm):
+        f = form_expr_or_blocks
+        return [np.array(_fem.assemble_vector(b)) if b is not None
+                else np.zeros(sp.dim)
+                for b, sp in zip(f.blocks, f.test_spaces)]
+    blocks = (_fem.extract_blocks(form_expr_or_blocks)
+              if not isinstance(form_expr_or_blocks, (list, tuple))
+              else form_expr_or_blocks)
+    out = []
+    for i, b in enumerate(blocks):
+        if b is not None:
+            out.append(np.array(_fem.assemble_vector(b)))
+        elif spaces is not None:
+            out.append(np.zeros(spaces[i].dim))
+        else:
+            out.append(None)
+    return out

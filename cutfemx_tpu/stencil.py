@@ -341,78 +341,112 @@ class StencilCutOperator:
             d = jnp.where(self.active, d, 1.0)
         return d
 
+    def _grid_statics(self):
+        return (self.n, self.N, self.nch, tuple(
+            (int(ch), (int(o[0]), int(o[1]), int(o[2])))
+            for ch, o in self.table), self.gsize)
+
+    def _grid_arrays(self):
+        return (self.A_local, self.cube_mask_j, self.active_grid,
+                self.identity_grid, self.rest_mats, self.rest_rows_grid,
+                self.rest_cols_grid, self._permg, self._sortedg)
+
     def diagonal_grid(self):
         """Assembled diagonal in flat grid layout (1.0 at inactive and
         invalid slots so Jacobi division is safe)."""
-        n, N = self.n, self.N
-        dloc = jnp.diagonal(self.A_local)
-        Y = jnp.zeros((self.nch, N, N, N), self.A_local.dtype)
-        for s, (ch, (dx, dy, dz)) in enumerate(self.table):
-            Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(
-                jnp.where(self.cube_mask_j, dloc[s], 0.0))
-        d = Y.reshape(-1)
-        for Ae, rg, cg in zip(self.rest_mats, self.rest_rows_grid,
-                              self.rest_cols_grid):
-            eq = rg[:, :, None] == cg[:, None, :]
-            contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
-            d = d.at[rg.ravel()].add(contrib.ravel())
-        return jnp.where(self.active_grid, d, 1.0)
+        return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
     def solve_cg(self, b, rtol=1e-8, maxiter=500):
         """Fully-jitted Jacobi-preconditioned CG, grid layout end-to-end:
         the interior apply is pure slicing + one batched matmul (no
         gathers); only the cut band gathers. Takes and returns dof
-        vectors."""
-        x, it, res = _stencil_cg(self, jnp.asarray(b), rtol, maxiter)
-        return x, it, res
+        vectors. The jit cache keys on shapes (not this operator object),
+        so a re-cut step with identical padded shapes reuses the compiled
+        solver."""
+        bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
+            if self.active is not None else jnp.asarray(b)
+        bg = self.vec_to_grid(bb)
+        xg, it, res = _grid_cg(*self._grid_statics(),
+                               *self._grid_arrays(), bg, rtol, maxiter)
+        return xg[self.dof_to_grid], it, res
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _stencil_cg(op: StencilCutOperator, b, rtol, maxiter):
-    from .la import cg
-    bb = jnp.where(op.active, b, 0.0) if op.active is not None else b
-    bg = op.vec_to_grid(bb)
-    dg = op.diagonal_grid()
-    xg, it, res = cg(lambda Xf: _stencil_apply_grid(op, Xf), bg,
-                     M=lambda r: r / dg, rtol=rtol, maxiter=maxiter)
-    return op.grid_to_vec(xg), it, res
-
-
-@partial(jax.jit, static_argnums=(0,))
-def _stencil_apply_grid(op: StencilCutOperator, Xf):
+def _grid_apply_body(n, N, nch, table, gsize, A_local, cube_mask,
+                     active_grid, identity_grid, rest_mats, rest_rows,
+                     rest_cols, permg, sortedg, Xf):
     """Operator apply on flat grid-layout vectors. Invariant: invalid grid
     slots are zero on input and output; inactive dofs get identity."""
-    n, N, nch = op.n, op.N, op.nch
-    Xin = jnp.where(op.active_grid, Xf, 0.0)
+    Xin = jnp.where(active_grid, Xf, 0.0)
     X = Xin.reshape(nch, N, N, N)
     parts = []
-    for (ch, (dx, dy, dz)) in op.table:
+    for (ch, (dx, dy, dz)) in table:
         parts.append(X[ch, dx:dx + n, dy:dy + n, dz:dz + n])
     xc = jnp.stack(parts, axis=-1)                  # (n, n, n, L)
-    yc = jnp.einsum("xyzl,lm->xyzm", xc, op.A_local)
-    yc = jnp.where(op.cube_mask_j[..., None], yc, 0.0)
+    yc = jnp.einsum("xyzl,lm->xyzm", xc, A_local)
+    yc = jnp.where(cube_mask[..., None], yc, 0.0)
     Y = jnp.zeros_like(X)
-    for s, (ch, (dx, dy, dz)) in enumerate(op.table):
+    for s, (ch, (dx, dy, dz)) in enumerate(table):
         Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(yc[..., s])
     Yf = Y.reshape(-1)
-    if op.rest_mats:
+    if rest_mats:
         parts2 = []
-        for Ae, cg in zip(op.rest_mats, op.rest_cols_grid):
-            xe = Xin[cg]
+        for Ae, cg_ in zip(rest_mats, rest_cols):
+            xe = Xin[cg_]
             parts2.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
         flat = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
-        Yf = Yf + jax.ops.segment_sum(flat[op._permg], op._sortedg,
-                                      num_segments=op.gsize,
+        Yf = Yf + jax.ops.segment_sum(flat[permg], sortedg,
+                                      num_segments=gsize,
                                       indices_are_sorted=True)
     # identity on inactive (valid) slots; zero on invalid slots
-    Yf = jnp.where(op.active_grid, Yf, 0.0)
-    Yf = Yf + jnp.where(op.identity_grid, Xf, 0.0)
+    Yf = jnp.where(active_grid, Yf, 0.0)
+    Yf = Yf + jnp.where(identity_grid, Xf, 0.0)
     return Yf
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _stencil_apply(op: StencilCutOperator, x):
+def _grid_diag_body(n, N, nch, table, gsize, A_local, cube_mask,
+                    active_grid, identity_grid, rest_mats, rest_rows,
+                    rest_cols, permg, sortedg):
+    dloc = jnp.diagonal(A_local)
+    Y = jnp.zeros((nch, N, N, N), A_local.dtype)
+    for s, (ch, (dx, dy, dz)) in enumerate(table):
+        Y = Y.at[ch, dx:dx + n, dy:dy + n, dz:dz + n].add(
+            jnp.where(cube_mask, dloc[s], 0.0))
+    d = Y.reshape(-1)
+    for Ae, rg, cg_ in zip(rest_mats, rest_rows, rest_cols):
+        eq = rg[:, :, None] == cg_[:, None, :]
+        contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
+        d = d.at[rg.ravel()].add(contrib.ravel())
+    return jnp.where(active_grid, d, 1.0)
+
+
+_grid_diag = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))(
+    _grid_diag_body)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _grid_cg(n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+             identity_grid, rest_mats, rest_rows, rest_cols, permg,
+             sortedg, bg, rtol, maxiter):
+    from .la import cg
+    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+            identity_grid, rest_mats, rest_rows, rest_cols, permg,
+            sortedg)
+    dg = _grid_diag_body(*args)
+    return cg(lambda Xf: _grid_apply_body(*args, Xf), bg,
+              M=lambda r: r / dg, rtol=rtol, maxiter=maxiter)
+
+
+def _stencil_apply_grid(op, Xf):
+    """Grid-layout apply bound to an operator (tools/tests)."""
+    return _grid_apply_jit(*op._grid_statics(), *op._grid_arrays(), Xf)
+
+
+_grid_apply_jit = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))(
+    _grid_apply_body)
+
+
+def _stencil_apply(op, x):
     """Vector-in/vector-out apply (wraps the grid apply)."""
     Xf = op.vec_to_grid(x)
-    Yf = _stencil_apply_grid(op, Xf)
+    Yf = _grid_apply_jit(*op._grid_statics(), *op._grid_arrays(), Xf)
     return op.grid_to_vec(Yf)

@@ -50,3 +50,39 @@ def test_profiling_utilities(tmp_path):
     rows = path.read_text().strip().splitlines()
     assert rows[0] == "iteration,compliance"
     assert len(rows) == 3
+
+
+def test_assemble_matrix_nest_matches_monolithic():
+    import numpy as np
+    import scipy.sparse as sps
+
+    import cutfemx_tpu as cfx
+    from cutfemx_tpu import fem, petsc
+    from cutfemx_tpu.forms.dsl import (MixedFunctionSpace, TestFunctions,
+                                       TrialFunctions, div, grad, inner)
+    from cutfemx_tpu.forms.measure import Measure
+
+    mesh = cfx.mesh.create_rectangle((0., 0.), (1., 1.), (6, 6))
+    V = cfx.functionspace(mesh, ("Lagrange", 2), shape=(2,))
+    Q = cfx.functionspace(mesh, ("Lagrange", 1))
+    W = MixedFunctionSpace(V, Q)
+    u, p = TrialFunctions(W)
+    v, q = TestFunctions(W)
+    dx = Measure("dx", domain=mesh)
+    a = (inner(grad(u), grad(v)) - p * div(v) + div(u) * q) * dx
+
+    nest = petsc.assemble_matrix_nest(a)
+    dims = (V.dim, Q.dim)
+    A_blk = sps.bmat(
+        [[blk.to_scipy().tocsr() if blk is not None
+          else sps.csr_matrix((dims[i], dims[j]))
+          for j, blk in enumerate(row)] for i, row in enumerate(nest)],
+        format="csr")
+    A_mono = fem.assemble_matrix(fem.form(a)).to_scipy().tocsr()
+    assert abs(A_mono - A_blk).max() == 0.0
+
+    bvecs = petsc.assemble_vector_nest(fem.form(
+        1.0 * q * dx))  # only the pressure block
+    assert len(bvecs) == 2
+    assert np.allclose(bvecs[0], 0.0)
+    assert abs(np.sum(bvecs[1]) - 1.0) < 1e-12  # integral of 1 over unit sq
