@@ -296,3 +296,14 @@ def test_ghost_penalty_facets_unique_interior():
     fc = mesh.facet_cells[gp]
     assert all(int(a) in cut_cells or int(b) in cut_cells
                for a, b in fc)
+
+
+def test_runtime_quadrature_algoim_rejects_simplex_hosts():
+    """Reference contract test_cut_api.py:1304: the algoim backends only
+    accept quad/hex host cells."""
+    _, phi = _line_level_set()
+    cd = cfx.cut(phi)
+    with pytest.raises(ValueError, match="quadrilateral/hexahedron"):
+        cfx.runtime_quadrature(cd, "phi<0", 2, backend="algoim")
+    with pytest.raises(ValueError, match="unknown backend"):
+        cfx.runtime_quadrature(cd, "phi<0", 2, backend="nope")
