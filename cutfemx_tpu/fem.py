@@ -1202,11 +1202,17 @@ class CutOperator:
         self.row_dofs = []
         self.col_dofs = []
         itypes = []
+        self._rows_host = []          # numpy copies (avoid device->host
+        self._cols_host = []          # transfers on every re-read)
         for inst in f.instances:
             Ae = inst.kernel.assemble_matrix(inst.data, f.dtype, f.block)
             self.element_matrices.append(Ae)
-            self.row_dofs.append(jnp.asarray(f._entity_dofs(V, inst)))
-            self.col_dofs.append(jnp.asarray(f._entity_dofs(U, inst)))
+            rh = np.asarray(f._entity_dofs(V, inst))
+            ch = np.asarray(f._entity_dofs(U, inst))
+            self._rows_host.append(rh)
+            self._cols_host.append(ch)
+            self.row_dofs.append(jnp.asarray(rh))
+            self.col_dofs.append(jnp.asarray(ch))
             itypes.append(inst.itype)
         if not f.instances:
             raise ValueError(
@@ -1220,9 +1226,8 @@ class CutOperator:
         # The apply is gather-bound (~25 ns per gathered element on TPU),
         # so every dropped row element is wall-clock off the CG solve.
         mats, rows, cols = _build_apply_arrays(
-            self.element_matrices,
-            [np.asarray(r) for r in self.row_dofs],
-            [np.asarray(c) for c in self.col_dofs], itypes)
+            self.element_matrices, list(self._rows_host),
+            list(self._cols_host), itypes)
         self._mats = tuple(jnp.asarray(m) for m in mats)
         self._rows = tuple(jnp.asarray(r) for r in rows)
         self._cols = tuple(jnp.asarray(c) for c in cols)

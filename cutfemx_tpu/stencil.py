@@ -161,14 +161,17 @@ class StencilCutOperator:
         mats, rows, cols, itypes = [], [], [], []
         for i, inst in enumerate(form.instances):
             Ae = op_rest.element_matrices[i]
-            rr = np.asarray(op_rest.row_dofs[i])
-            cc = np.asarray(op_rest.col_dofs[i])
+            rr = op_rest._rows_host[i]
+            cc = op_rest._cols_host[i]
             if i == std_idx:
                 keep = np.isin(np.asarray(inst.rows_cells),
                                leftover_cells)
                 keep &= np.asarray(inst.data["mask"]) > 0
                 if keep.any():
-                    mats.append(jnp.asarray(np.asarray(Ae)[keep]))
+                    # filter on device: pulling the full standard-instance
+                    # element batch to host is ~100 MB at bench sizes
+                    sel = jnp.asarray(np.flatnonzero(keep).astype(np.int32))
+                    mats.append(jnp.asarray(Ae)[sel])
                     rows.append(rr[keep])
                     cols.append(cc[keep])
                     itypes.append(inst.itype)
@@ -296,7 +299,13 @@ class StencilCutOperator:
             la, lb = lat[e[:, 0]], lat[e[:, 1]]
             origin = np.minimum(la, lb)
             delta = np.abs(lb - la)
-            ch = np.array([_EDGE_CLASS[tuple(d)] for d in delta])
+            # vectorized channel lookup (a Python loop here costs ~2 s
+            # at bench sizes)
+            ch_table = np.zeros(8, np.int64)
+            for d, c in _EDGE_CLASS.items():
+                ch_table[d[0] * 4 + d[1] * 2 + d[2]] = c
+            code = delta[:, 0] * 4 + delta[:, 1] * 2 + delta[:, 2]
+            ch = ch_table[code]
             grid_index[ch, origin[:, 0], origin[:, 1], origin[:, 2]] = \
                 mesh.num_vertices + np.arange(len(e))
         self.grid_index = grid_index
