@@ -17,7 +17,8 @@ BASELINE.md — the reference publishes no numbers.
 
 Env knobs: CUTFEMX_BENCH_N (mesh resolution, default 48),
 CUTFEMX_BENCH_ITERS (CG iteration cap, default 500),
-CUTFEMX_BENCH_SOLVER=jacobi|mg|stencil.
+CUTFEMX_BENCH_SOLVER=stencil|jacobi|mg (default stencil: grid-layout CG,
+falls back to the element-batch jacobi operator on unsupported setups).
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def main():
 
     n = int(os.environ.get("CUTFEMX_BENCH_N", "48"))
     iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "500"))
-    solver = os.environ.get("CUTFEMX_BENCH_SOLVER", "jacobi")
+    solver = os.environ.get("CUTFEMX_BENCH_SOLVER", "stencil")
     deg, r, gamma = 2, 0.46, 40.0
 
     # background page pre-faulting sized to the problem (overlaps compiles)
@@ -120,7 +121,10 @@ def main():
             return x_, its, res, t_mid
         if solver == "stencil":
             from cutfemx_tpu.stencil import StencilCutOperator
-            op = StencilCutOperator(af, dom)
+            try:
+                op = StencilCutOperator(af, dom)
+            except (NotImplementedError, ValueError):
+                op = fem.CutOperator(af, dom)  # unstructured fallback
         else:
             op = fem.CutOperator(af, dom)
         t_mid = time.perf_counter()

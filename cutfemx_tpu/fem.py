@@ -1190,7 +1190,12 @@ class CutOperator:
     and ``solve_cg`` runs the whole preconditioned solve as one XLA program.
     """
 
-    def __init__(self, f: CutForm, domain: ActiveDomain | None = None):
+    def __init__(self, f: CutForm, domain: ActiveDomain | None = None,
+                 apply_plan: bool = True):
+        """apply_plan=False skips the merged/compressed matvec plan (the
+        argsorted scatter layout) for consumers that only need the
+        per-instance element matrices and dof maps (StencilCutOperator);
+        __call__/diagonal/solve_cg then raise."""
         if f.rank != 2:
             raise ValueError("CutOperator requires a rank-2 form")
         self.form = f
@@ -1220,6 +1225,10 @@ class CutOperator:
                 "measure had an empty entity set); nothing to apply")
         self.active = (jnp.asarray(domain.active_mask)
                        if domain is not None else None)
+        self._itypes = itypes
+        self._has_plan = bool(apply_plan)
+        if not apply_plan:
+            return
         # apply-path arrays: merged + compressed copies of the
         # per-instance data (element_matrices/row_dofs stay per-instance
         # for consumers that index by instance, e.g. StencilCutOperator).
@@ -1238,12 +1247,20 @@ class CutOperator:
         self._perm = jnp.asarray(perm.astype(np.int32))
         self._sorted_rows = jnp.asarray(flat_rows[perm].astype(np.int32))
 
+    def _require_plan(self):
+        if not self._has_plan:
+            raise RuntimeError(
+                "CutOperator was built with apply_plan=False (element "
+                "data only); rebuild with apply_plan=True to apply it")
+
     def __call__(self, x):
+        self._require_plan()
         return _matfree_apply_sorted(self.dim, self._mats, self._cols,
                                      self._perm, self._sorted_rows,
                                      self.active, x)
 
     def diagonal(self):
+        self._require_plan()
         return _matfree_diagonal(self.dim, self._mats, self._rows,
                                  self._cols, self._perm,
                                  self._sorted_rows, self.active,
@@ -1256,6 +1273,7 @@ class CutOperator:
         (polynomial of the Jacobi-scaled operator), or 'none'."""
         if precond is None:
             precond = "jacobi" if jacobi else "none"
+        self._require_plan()
         return _matfree_cg(self.dim, str(precond), self._mats, self._rows,
                            self._cols, self._perm, self._sorted_rows,
                            self.active, jnp.asarray(b), rtol, maxiter)

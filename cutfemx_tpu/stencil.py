@@ -157,7 +157,9 @@ class StencilCutOperator:
         # CutOperator (the raw ghost-penalty batches alone are ~30x more
         # gathered elements than the compressed plan)
         from .fem import _build_apply_arrays
-        op_rest = CutOperator(form, domain)
+        # element data only: the merged full-operator apply plan (a ~1 s
+        # argsort over every gathered element at bench sizes) is never used
+        op_rest = CutOperator(form, domain, apply_plan=False)
         mats, rows, cols, itypes = [], [], [], []
         for i, inst in enumerate(form.instances):
             Ae = op_rest.element_matrices[i]
