@@ -367,19 +367,173 @@ class StencilCutOperator:
         invalid slots so Jacobi division is safe)."""
         return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
-    def solve_cg(self, b, rtol=1e-8, maxiter=500):
-        """Fully-jitted Jacobi-preconditioned CG, grid layout end-to-end:
-        the interior apply is pure slicing + one batched matmul (no
-        gathers); only the cut band gathers. Takes and returns dof
-        vectors. The jit cache keys on shapes (not this operator object),
-        so a re-cut step with identical padded shapes reuses the compiled
-        solver."""
+    def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="asm"):
+        """Fully-jitted preconditioned CG, grid layout end-to-end: the
+        interior apply is pure slicing + one batched matmul (no gathers);
+        only the cut band gathers. Takes and returns dof vectors. The jit
+        cache keys on shapes (not this operator object), so a re-cut step
+        with identical padded shapes reuses the compiled solver.
+
+        precond: 'asm' (default) — overlapping cube-block additive
+        Schwarz, dense batched 27x27 solves on an active-cube bounding
+        box (zero gathers; ~3x fewer iterations than Jacobi on the cut
+        P2 bench) — or 'jacobi'."""
         bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
             if self.active is not None else jnp.asarray(b)
         bg = self.vec_to_grid(bb)
-        xg, it, res = _grid_cg(*self._grid_statics(),
-                               *self._grid_arrays(), bg, rtol, maxiter)
+        if precond == "asm":
+            self._ensure_cube_asm()
+            xg, it, res = _grid_cg_asm(*self._grid_statics(),
+                                       self._asm_bbox,
+                                       *self._grid_arrays(),
+                                       self._asm_binv, bg, rtol, maxiter)
+        else:
+            xg, it, res = _grid_cg(*self._grid_statics(),
+                                   *self._grid_arrays(), bg, rtol,
+                                   maxiter)
         return xg[self.dof_to_grid], it, res
+
+    # -- cube-block additive Schwarz preconditioner ---------------------------
+
+    def _ensure_cube_asm(self):
+        if getattr(self, "_asm_binv", None) is None:
+            self._build_cube_asm()
+
+    def _build_cube_asm(self):
+        """Overlapping additive Schwarz with one block per lattice cube
+        (the cube's 27 P2 / 8 P1 dofs). Blocks approximate R_c A R_c^T:
+
+          block = [A_local if the cube is fully standard]
+                + principal submatrices of every element-path element
+                  (cut cells, Nitsche, ghost-penalty facets, leftover
+                  simplices) folded into every cube they touch
+                + exact operator diagonal (the missing neighbor-cell
+                  couplings contribute at least their diagonal mass)
+
+        Inactive slots become identity rows, blocks are eigenvalue-clamped
+        SPD, inverted, and stored DENSE over the bounding box of covered
+        cubes so the preconditioner apply is slicing + one batched matmul
+        with zero gathers (same economics as the interior stencil apply).
+        Prototype (tools/proto_cube_asm.py, exact blocks): 211 -> 65 CG
+        iterations at n=16, 358 -> 113 at n=32, vs Jacobi."""
+        n, N, nch = self.n, self.N, self.nch
+        table = self.table
+        L = len(table)
+        dtype = self.A_local.dtype
+
+        slot_lut = -np.ones((nch, 2, 2, 2), np.int64)
+        for s, (ch, (dx, dy, dz)) in enumerate(table):
+            slot_lut[ch, dx, dy, dz] = s
+
+        # -- per-instance (element, cube) fold pairs: every lattice cube
+        # where the element has >= 2 dof slots (single-slot overlaps only
+        # touch the diagonal, which the exact-diagonal pass sets anyway)
+        inst_pairs = []           # (cube_flat (P,), elem (P,), slots (P, nd))
+        for rg in self.rest_rows_grid:
+            g = np.asarray(rg)                       # (E, nd) grid pos
+            ch = g // N ** 3
+            rem = g % N ** 3
+            px = rem // N ** 2
+            py = (rem // N) % N
+            pz = rem % N
+            lo = np.stack([px.min(1), py.min(1), pz.min(1)], 1)  # (E, 3)
+            cubes, elems, slots = [], [], []
+            for ox in (-1, 0, 1):
+                for oy in (-1, 0, 1):
+                    for oz in (-1, 0, 1):
+                        c = lo + np.array([ox, oy, oz])
+                        ok = ((c >= 0) & (c < n)).all(1)
+                        dx = px - c[:, 0:1]
+                        dy = py - c[:, 1:2]
+                        dz = pz - c[:, 2:3]
+                        val = ((dx >= 0) & (dx <= 1) & (dy >= 0)
+                               & (dy <= 1) & (dz >= 0) & (dz <= 1))
+                        sl = np.where(
+                            val, slot_lut[ch, dx & 1, dy & 1, dz & 1], -1)
+                        keep = ok & ((sl >= 0).sum(1) >= 2)
+                        if not keep.any():
+                            continue
+                        cc = c[keep]
+                        cubes.append((cc[:, 0] * n + cc[:, 1]) * n
+                                     + cc[:, 2])
+                        elems.append(np.flatnonzero(keep))
+                        slots.append(sl[keep])
+            inst_pairs.append((np.concatenate(cubes),
+                               np.concatenate(elems),
+                               np.concatenate(slots)))
+
+        band = np.unique(np.concatenate([p[0] for p in inst_pairs]))
+        B = len(band)
+
+        # -- device fold: one-hot congruence per pair, scatter-add by cube
+        blocks = jnp.zeros((B, L, L), dtype)
+        CH = 1 << 17
+        for (cubes, elems, slots), Ae in zip(inst_pairs, self.rest_mats):
+            bidx = np.searchsorted(band, cubes).astype(np.int32)
+            for st in range(0, len(cubes), CH):
+                fold = _fold_pairs_device(
+                    Ae, jnp.asarray(elems[st:st + CH].astype(np.int32)),
+                    jnp.asarray(slots[st:st + CH].astype(np.int32)), L)
+                blocks = blocks.at[jnp.asarray(bidx[st:st + CH])].add(fold)
+        blocks = np.array(blocks, np.float64)  # writable host copy
+
+        # -- base: A_local for fully-standard cubes
+        full_flat = np.asarray(self.cube_mask).reshape(-1)
+        A_loc = np.asarray(self.A_local, np.float64)
+        blocks[full_flat[band]] += A_loc
+
+        # -- exact diagonal + active mask at each band cube's slots
+        d_exact = np.asarray(_grid_diag(*self._grid_statics(),
+                                        *self._grid_arrays()), np.float64)
+        act = np.asarray(self.active_grid)
+        bc = np.stack([band // (n * n), (band // n) % n, band % n], 1)
+        tch = np.array([ch for ch, _ in table])
+        toff = np.array([off for _, off in table])
+        pos = (((tch[None, :] * N + bc[:, 0:1] + toff[None, :, 0]) * N
+                + bc[:, 1:2] + toff[None, :, 1]) * N
+               + bc[:, 2:3] + toff[None, :, 2])       # (B, L)
+        d_b = d_exact[pos]
+        a_b = act[pos]
+        # near-zero-diagonal active slots (sliver-cut dofs decoupled from
+        # the ghost-penalty band) get identity treatment: clamped block
+        # inverses would otherwise amplify the matching near-null operator
+        # mode into O(1) solution drift
+        a_b &= d_b > 1e-10 * max(float(d_exact.max()), 1.0)
+        ii_, jj_ = np.diag_indices(L)
+        blocks *= a_b[:, :, None]
+        blocks *= a_b[:, None, :]
+        blocks[:, ii_, jj_] = np.where(a_b, d_b, 1.0)
+
+        inv_band = _spd_clamp_inverse(blocks)
+
+        # -- shared interior block: A_local + uniform exact diagonal
+        # (a channel-c dof's diagonal sums dloc over every table slot of
+        # that channel: one per containing cube)
+        dloc = np.diag(A_loc)
+        ch_of = np.array([ch for ch, _ in table])
+        d_uni = np.array([dloc[ch_of == ch_of[s]].sum() for s in range(L)])
+        B_int = A_loc.copy()
+        B_int[ii_, jj_] = d_uni
+        inv_int = _spd_clamp_inverse(B_int[None])[0]
+
+        # -- dense inverse tensor over the covered-cube bounding box
+        cov = np.zeros(n ** 3, bool)
+        cov[band] = True
+        cov |= full_flat
+        cidx = np.flatnonzero(cov)
+        cx, cy, cz = cidx // (n * n), (cidx // n) % n, cidx % n
+        x0, y0, z0 = int(cx.min()), int(cy.min()), int(cz.min())
+        nbx = int(cx.max()) + 1 - x0
+        nby = int(cy.max()) + 1 - y0
+        nbz = int(cz.max()) + 1 - z0
+        dense = np.zeros((nbx, nby, nbz, L, L), np.float32)
+        ifull = np.flatnonzero(full_flat)
+        dense[ifull // (n * n) - x0, (ifull // n) % n - y0,
+              ifull % n - z0] = inv_int.astype(np.float32)
+        dense[bc[:, 0] - x0, bc[:, 1] - y0, bc[:, 2] - z0] = \
+            inv_band.astype(np.float32)
+        self._asm_binv = jnp.asarray(dense).astype(dtype)
+        self._asm_bbox = (x0, y0, z0, nbx, nby, nbz)
 
 
 def _grid_apply_body(n, N, nch, table, gsize, A_local, cube_mask,
@@ -445,6 +599,62 @@ def _grid_cg(n, N, nch, table, gsize, A_local, cube_mask, active_grid,
     dg = _grid_diag_body(*args)
     return cg(lambda Xf: _grid_apply_body(*args, Xf), bg,
               M=lambda r: r / dg, rtol=rtol, maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fold_pairs_device(Ae, elem, slots, L):
+    """Fold element matrices onto cube-slot tables: for pair p,
+    out[p, a, b] = sum_{i,j: slots[p,i]=a, slots[p,j]=b} Ae[elem[p], i, j]
+    (slot -1 rows drop). Two batched one-hot matmuls (MXU work)."""
+    A = Ae[elem]
+    S = (slots[:, :, None] == jnp.arange(L)[None, None, :]).astype(A.dtype)
+    return jnp.einsum("pia,pij,pjb->pab", S, A, S,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _spd_clamp_inverse(blocks, rel=1e-10):
+    """Symmetrize, clamp eigenvalues to rel*max per block, invert (host
+    numpy; guarantees SPD inverses for the additive-Schwarz sum)."""
+    sym = 0.5 * (blocks + np.swapaxes(blocks, -1, -2))
+    ew, Q = np.linalg.eigh(sym)
+    floor = rel * np.maximum(np.abs(ew).max(axis=-1, keepdims=True), 1.0)
+    ew = np.maximum(ew, floor)
+    return np.einsum("bij,bj,bkj->bik", Q, 1.0 / ew, Q)
+
+
+def _asm_apply_body(n, N, nch, table, bbox, Binv, active_grid, rf):
+    """Additive-Schwarz preconditioner apply in flat grid layout:
+    slice the residual into per-cube slot vectors over the covered-cube
+    bounding box, one batched (cube, L) x (cube, L, L) contraction,
+    slice-add back. Identity on slots outside the covered region."""
+    x0, y0, z0, nbx, nby, nbz = bbox
+    R = rf.reshape(nch, N, N, N)
+    parts = [R[ch, x0 + dx:x0 + dx + nbx, y0 + dy:y0 + dy + nby,
+               z0 + dz:z0 + dz + nbz] for (ch, (dx, dy, dz)) in table]
+    rc = jnp.stack(parts, axis=-1)                    # (bx, by, bz, L)
+    zc = jnp.einsum("xyzl,xyzlm->xyzm", rc, Binv,
+                    precision=jax.lax.Precision.HIGHEST)
+    Z = jnp.zeros_like(R)
+    for s, (ch, (dx, dy, dz)) in enumerate(table):
+        Z = Z.at[ch, x0 + dx:x0 + dx + nbx, y0 + dy:y0 + dy + nby,
+                 z0 + dz:z0 + dz + nbz].add(zc[..., s])
+    zf = Z.reshape(-1)
+    # every active dof is covered by >= 1 block; inactive slots keep r
+    return jnp.where(active_grid, zf, rf)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _grid_cg_asm(n, N, nch, table, gsize, bbox, A_local, cube_mask,
+                 active_grid, identity_grid, rest_mats, rest_rows,
+                 rest_cols, permg, sortedg, Binv, bg, rtol, maxiter):
+    from .la import cg
+    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+            identity_grid, rest_mats, rest_rows, rest_cols, permg,
+            sortedg)
+    return cg(lambda Xf: _grid_apply_body(*args, Xf), bg,
+              M=lambda r: _asm_apply_body(n, N, nch, table, bbox, Binv,
+                                          active_grid, r),
+              rtol=rtol, maxiter=maxiter)
 
 
 def _stencil_apply_grid(op, Xf):
