@@ -475,45 +475,47 @@ class StencilCutOperator:
                     Ae, jnp.asarray(elems[st:st + CH].astype(np.int32)),
                     jnp.asarray(slots[st:st + CH].astype(np.int32)), L)
                 blocks = blocks.at[jnp.asarray(bidx[st:st + CH])].add(fold)
-        blocks = np.array(blocks, np.float64)  # writable host copy
-
-        # -- base: A_local for fully-standard cubes
+        # -- base: A_local for fully-standard cubes (device)
         full_flat = np.asarray(self.cube_mask).reshape(-1)
-        A_loc = np.asarray(self.A_local, np.float64)
-        blocks[full_flat[band]] += A_loc
+        fb = np.flatnonzero(full_flat[band]).astype(np.int32)
+        if len(fb):
+            blocks = blocks.at[jnp.asarray(fb)].add(self.A_local)
 
         # -- exact diagonal + active mask at each band cube's slots
-        d_exact = np.asarray(_grid_diag(*self._grid_statics(),
-                                        *self._grid_arrays()), np.float64)
-        act = np.asarray(self.active_grid)
+        d_exact = _grid_diag(*self._grid_statics(), *self._grid_arrays())
         bc = np.stack([band // (n * n), (band // n) % n, band % n], 1)
         tch = np.array([ch for ch, _ in table])
         toff = np.array([off for _, off in table])
         pos = (((tch[None, :] * N + bc[:, 0:1] + toff[None, :, 0]) * N
                 + bc[:, 1:2] + toff[None, :, 1]) * N
                + bc[:, 2:3] + toff[None, :, 2])       # (B, L)
-        d_b = d_exact[pos]
-        a_b = act[pos]
+        posd = jnp.asarray(pos.astype(np.int32))
+        d_b = d_exact[posd]
+        a_b = self.active_grid[posd]
         # near-zero-diagonal active slots (sliver-cut dofs decoupled from
-        # the ghost-penalty band) get identity treatment: clamped block
-        # inverses would otherwise amplify the matching near-null operator
-        # mode into O(1) solution drift
-        a_b &= d_b > 1e-10 * max(float(d_exact.max()), 1.0)
-        ii_, jj_ = np.diag_indices(L)
-        blocks *= a_b[:, :, None]
-        blocks *= a_b[:, None, :]
-        blocks[:, ii_, jj_] = np.where(a_b, d_b, 1.0)
+        # the ghost-penalty band) get identity treatment: block inverses
+        # would otherwise amplify the matching near-null operator mode
+        # into O(1) solution drift
+        a_b &= d_b > 1e-10 * jnp.maximum(jnp.max(d_exact), 1.0)
+        af_ = a_b.astype(dtype)
+        blocks = blocks * af_[:, :, None] * af_[:, None, :]
+        ii_ = jnp.arange(L)
+        blocks = blocks.at[:, ii_, ii_].set(jnp.where(a_b, d_b, 1.0))
 
-        inv_band = _spd_clamp_inverse(blocks)
+        # batched LU inversion on device (host eigh costs seconds at
+        # bench sizes; spectra are safely SPD — see _spd_inverse_device)
+        inv_band = _spd_inverse_device(blocks)
 
         # -- shared interior block: A_local + uniform exact diagonal
         # (a channel-c dof's diagonal sums dloc over every table slot of
         # that channel: one per containing cube)
+        A_loc = np.array(self.A_local, np.float64)
+        iid, jjd = np.diag_indices(L)
         dloc = np.diag(A_loc)
         ch_of = np.array([ch for ch, _ in table])
         d_uni = np.array([dloc[ch_of == ch_of[s]].sum() for s in range(L)])
         B_int = A_loc.copy()
-        B_int[ii_, jj_] = d_uni
+        B_int[iid, jjd] = d_uni
         inv_int = _spd_clamp_inverse(B_int[None])[0]
 
         # -- dense inverse tensor over the covered-cube bounding box
@@ -526,13 +528,18 @@ class StencilCutOperator:
         nbx = int(cx.max()) + 1 - x0
         nby = int(cy.max()) + 1 - y0
         nbz = int(cz.max()) + 1 - z0
-        dense = np.zeros((nbx, nby, nbz, L, L), np.float32)
+        nbb = nbx * nby * nbz
         ifull = np.flatnonzero(full_flat)
-        dense[ifull // (n * n) - x0, (ifull // n) % n - y0,
-              ifull % n - z0] = inv_int.astype(np.float32)
-        dense[bc[:, 0] - x0, bc[:, 1] - y0, bc[:, 2] - z0] = \
-            inv_band.astype(np.float32)
-        self._asm_binv = jnp.asarray(dense).astype(dtype)
+        lin_full = (((ifull // (n * n)) - x0) * nby
+                    + (ifull // n) % n - y0) * nbz + ifull % n - z0
+        lin_band = ((bc[:, 0] - x0) * nby + bc[:, 1] - y0) * nbz \
+            + bc[:, 2] - z0
+        dense = jnp.zeros((nbb, L, L), dtype)
+        dense = dense.at[jnp.asarray(lin_full.astype(np.int32))].set(
+            jnp.asarray(inv_int.astype(np.float32)).astype(dtype))
+        dense = dense.at[jnp.asarray(lin_band.astype(np.int32))].set(
+            inv_band)
+        self._asm_binv = dense.reshape(nbx, nby, nbz, L, L)
         self._asm_bbox = (x0, y0, z0, nbx, nby, nbz)
 
 
@@ -620,6 +627,22 @@ def _spd_clamp_inverse(blocks, rel=1e-10):
     floor = rel * np.maximum(np.abs(ew).max(axis=-1, keepdims=True), 1.0)
     ew = np.maximum(ew, floor)
     return np.einsum("bij,bj,bkj->bik", Q, 1.0 / ew, Q)
+
+
+@jax.jit
+def _spd_inverse_device(blocks):
+    """Batched symmetrize + ridge + LU inverse + re-symmetrize. Host eigh
+    over the band blocks costs seconds at bench sizes; measured block
+    spectra are comfortably SPD (min/max eig ratio ~1e-3 at n=16), so a
+    1e-6 relative ridge plus f32 LU is accurate to ~1e-4 — plenty for a
+    preconditioner."""
+    sym = 0.5 * (blocks + jnp.swapaxes(blocks, -1, -2))
+    L = blocks.shape[-1]
+    dmax = jnp.max(jnp.abs(jnp.diagonal(sym, axis1=-2, axis2=-1)),
+                   axis=-1)[..., None, None]
+    sym = sym + 1e-6 * dmax * jnp.eye(L, dtype=blocks.dtype)
+    inv = jnp.linalg.inv(sym)
+    return 0.5 * (inv + jnp.swapaxes(inv, -1, -2))
 
 
 def _asm_apply_body(n, N, nch, table, bbox, Binv, active_grid, rf):
