@@ -79,6 +79,27 @@ def test_stencil_solve_matches():
     assert err < 1e-6 * np.abs(np.asarray(x0)[mask]).max()
 
 
+@pytest.mark.parametrize("n,deg", [(8, 1), (10, 2)])
+def test_band_fold_apply_exact(n, deg):
+    """The folded element path (dense cube/pair blocks, zero gathers)
+    reproduces the gather-path apply exactly."""
+    from cutfemx_tpu.stencil import (_grid_apply_fold_body,
+                                     _grid_apply_jit)
+    V, af, dom, b = _problem(n, deg)
+    op = StencilCutOperator(af, dom)
+    op._ensure_band_fold()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(op.gsize))
+    y0 = np.asarray(_grid_apply_jit(*op._grid_statics(),
+                                    *op._grid_arrays(), x))
+    y1 = np.asarray(_grid_apply_fold_body(
+        *op._grid_statics(), op._bf_bbox, op.A_local, op.cube_mask_j,
+        op.active_grid, op.identity_grid, op._bf_diag, op._bf_fwd,
+        op._bf_rev, x))
+    err = np.abs(y1 - y0).max() / max(np.abs(y0).max(), 1.0)
+    assert err < 1e-11, err
+
+
 def test_stencil_asm_precond():
     """Cube-block additive Schwarz: converges to the same residual in the
     reference operator's metric with materially fewer iterations (the
