@@ -86,12 +86,8 @@ class MatrixCSR:
 # -- Krylov solvers (pure JAX, jittable, matrix-free) ------------------------
 
 
-def cg(operator, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=1000):
-    """Preconditioned conjugate gradients.
-
-    operator: callable x -> A@x (linear, SPD). M: callable r -> M^{-1} r.
-    Runs as a lax.while_loop; returns (x, iterations, residual_norm).
-    """
+def cg_init(operator, b, x0=None, M=None):
+    """Initial PCG state (x, r, p, rz, it) and squared rhs norm."""
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     if M is None:
@@ -99,17 +95,23 @@ def cg(operator, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=1000):
             return r
     r = b - operator(x)
     z = M(r)
-    p = z
     rz = jnp.vdot(r, z).real
-    bnorm = jnp.linalg.norm(b)
-    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+    return (x, r, z, rz, jnp.zeros((), jnp.int32)), jnp.vdot(b, b).real
 
-    def cond(state):
-        x, r, p, rz, it = state
-        return (jnp.vdot(r, r).real > tol2) & (it < maxiter)
 
-    def body(state):
-        x, r, p, rz, it = state
+def cg_resume(operator, state, M, tol2, it_cap):
+    """Continue PCG from ``state`` until ||r||^2 <= tol2 or it >= it_cap
+    (one lax.while_loop; tol2/it_cap may be traced scalars)."""
+    if M is None:
+        def M(r):
+            return r
+
+    def cond(s):
+        x, r, p, rz, it = s
+        return (jnp.vdot(r, r).real > tol2) & (it < it_cap)
+
+    def body(s):
+        x, r, p, rz, it = s
         Ap = operator(p)
         alpha = rz / jnp.vdot(p, Ap).real
         x = x + alpha * p
@@ -120,7 +122,18 @@ def cg(operator, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=1000):
         p = z + beta * p
         return (x, r, p, rz_new, it + 1)
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return jax.lax.while_loop(cond, body, state)
+
+
+def cg(operator, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=1000):
+    """Preconditioned conjugate gradients.
+
+    operator: callable x -> A@x (linear, SPD). M: callable r -> M^{-1} r.
+    Runs as a lax.while_loop; returns (x, iterations, residual_norm).
+    """
+    state, bb = cg_init(operator, b, x0=x0, M=M)
+    tol2 = jnp.maximum(rtol * jnp.sqrt(bb), atol) ** 2
+    x, r, p, rz, it = cg_resume(operator, state, M, tol2, maxiter)
     return x, it, jnp.linalg.norm(r)
 
 

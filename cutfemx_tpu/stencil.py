@@ -367,7 +367,8 @@ class StencilCutOperator:
         invalid slots so Jacobi division is safe)."""
         return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
-    def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="asm"):
+    def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="asm",
+                 dispatch_chunk=100):
         """Fully-jitted preconditioned CG, grid layout end-to-end: the
         interior apply is pure slicing + one batched matmul (no gathers);
         only the cut band gathers. Takes and returns dof vectors. The jit
@@ -384,11 +385,26 @@ class StencilCutOperator:
         if precond == "asm":
             self._ensure_cube_asm()
             self._ensure_band_fold()
-            xg, it, res = _grid_cg_fold(
-                *self._grid_statics(), self._asm_bbox, self._bf_bbox,
-                self.A_local, self.cube_mask_j, self.active_grid,
-                self.identity_grid, self._bf_diag, self._bf_fwd,
-                self._bf_rev, self._asm_binv, bg, rtol, maxiter)
+            statics = (*self._grid_statics(), self._asm_bbox,
+                       self._bf_bbox)
+            arrays = (self.A_local, self.cube_mask_j, self.active_grid,
+                      self.identity_grid, self._bf_diag, self._bf_fwd,
+                      self._bf_rev, self._asm_binv)
+            state, bb = _grid_cg_fold_init(*statics, *arrays, bg)
+            tol2 = rtol * rtol * float(bb)
+            chunk = max(1, int(dispatch_chunk))
+            it = 0
+            while True:
+                state, rr = _grid_cg_fold_chunk(
+                    *statics, *arrays, state,
+                    jnp.asarray(tol2, bg.dtype),
+                    jnp.asarray(min(it + chunk, maxiter), jnp.int32))
+                rr_f = float(rr)
+                it = int(state[4])
+                if rr_f <= tol2 or it >= maxiter:
+                    break
+            xg, res = state[0], np.sqrt(rr_f)
+            return xg[self.dof_to_grid], it, res
         else:
             xg, it, res = _grid_cg(*self._grid_statics(),
                                    *self._grid_arrays(), bg, rtol,
@@ -909,19 +925,40 @@ def _asm_apply_body(n, N, nch, table, bbox, Binv, active_grid, rf):
     return jnp.where(active_grid, zf, rf)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _grid_cg_fold(n, N, nch, table, gsize, bbox_asm, bbox_bf, A_local,
-                  cube_mask, active_grid, identity_grid, Dg, Fwd, Rev,
-                  Binv, bg, rtol, maxiter):
-    """CG with the fully-folded apply (interior stencil + dense cube/pair
-    blocks; zero gathers) and the cube-block ASM preconditioner."""
-    from .la import cg
+def _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf, A_local,
+              cube_mask, active_grid, identity_grid, Dg, Fwd, Rev, Binv):
     args = (n, N, nch, table, gsize, bbox_bf, A_local, cube_mask,
             active_grid, identity_grid, Dg, Fwd, Rev)
-    return cg(lambda Xf: _grid_apply_fold_body(*args, Xf), bg,
-              M=lambda r: _asm_apply_body(n, N, nch, table, bbox_asm,
-                                          Binv, active_grid, r),
-              rtol=rtol, maxiter=maxiter)
+    return (lambda Xf: _grid_apply_fold_body(*args, Xf),
+            lambda r: _asm_apply_body(n, N, nch, table, bbox_asm, Binv,
+                                      active_grid, r))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _grid_cg_fold_init(n, N, nch, table, gsize, bbox_asm, bbox_bf,
+                       A_local, cube_mask, active_grid, identity_grid,
+                       Dg, Fwd, Rev, Binv, bg):
+    from .la import cg_init
+    op, M = _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf,
+                      A_local, cube_mask, active_grid, identity_grid,
+                      Dg, Fwd, Rev, Binv)
+    return cg_init(op, bg, M=M)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _grid_cg_fold_chunk(n, N, nch, table, gsize, bbox_asm, bbox_bf,
+                        A_local, cube_mask, active_grid, identity_grid,
+                        Dg, Fwd, Rev, Binv, state, tol2, it_cap):
+    """One bounded CG dispatch (<= it_cap total iterations). Long solves
+    run as a host loop over these chunks: a single while_loop dispatch
+    covering hundreds of iterations at 10M dofs exceeds the remote TPU
+    runtime's per-dispatch limit and surfaces as a device fault."""
+    from .la import cg_resume
+    op, M = _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf,
+                      A_local, cube_mask, active_grid, identity_grid,
+                      Dg, Fwd, Rev, Binv)
+    state = cg_resume(op, state, M, tol2, it_cap)
+    return state, jnp.vdot(state[1], state[1]).real
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
