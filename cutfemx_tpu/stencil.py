@@ -375,14 +375,31 @@ class StencilCutOperator:
         cache keys on shapes (not this operator object), so a re-cut step
         with identical padded shapes reuses the compiled solver.
 
-        precond: 'asm' (default) — overlapping cube-block additive
-        Schwarz, dense batched 27x27 solves on an active-cube bounding
-        box (zero gathers; ~3x fewer iterations than Jacobi on the cut
-        P2 bench) — or 'jacobi'."""
+        precond:
+          'asm' (default) — gather element path + overlapping cube-block
+            additive Schwarz (~2-3x fewer iterations than Jacobi on the
+            cut P2 bench; cheap per-step build).
+          'asm-fold' — folded element path (dense cube/pair blocks, zero
+            gathers in the apply) + ASM. The fold build costs a few
+            solve-seconds, so it pays off only when one operator is
+            solved repeatedly (fixed-cut time stepping, Newton).
+          'jacobi' — diagonal preconditioner.
+
+        Long solves run as a host loop of <=dispatch_chunk-iteration
+        device dispatches: a single while_loop dispatch covering
+        hundreds of iterations at 10M dofs exceeds the remote TPU
+        runtime's per-dispatch limit."""
         bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
             if self.active is not None else jnp.asarray(b)
         bg = self.vec_to_grid(bb)
         if precond == "asm":
+            self._ensure_cube_asm()
+            statics = (*self._grid_statics(), self._asm_bbox)
+            arrays = (*self._grid_arrays(), self._asm_binv)
+            return self._chunked_cg(_grid_cg_asm_init, _grid_cg_asm_chunk,
+                                    statics, arrays, bg, rtol, maxiter,
+                                    dispatch_chunk)
+        if precond == "asm-fold":
             self._ensure_cube_asm()
             self._ensure_band_fold()
             statics = (*self._grid_statics(), self._asm_bbox,
@@ -390,26 +407,29 @@ class StencilCutOperator:
             arrays = (self.A_local, self.cube_mask_j, self.active_grid,
                       self.identity_grid, self._bf_diag, self._bf_fwd,
                       self._bf_rev, self._asm_binv)
-            state, bb = _grid_cg_fold_init(*statics, *arrays, bg)
-            tol2 = rtol * rtol * float(bb)
-            chunk = max(1, int(dispatch_chunk))
-            it = 0
-            while True:
-                state, rr = _grid_cg_fold_chunk(
-                    *statics, *arrays, state,
-                    jnp.asarray(tol2, bg.dtype),
-                    jnp.asarray(min(it + chunk, maxiter), jnp.int32))
-                rr_f = float(rr)
-                it = int(state[4])
-                if rr_f <= tol2 or it >= maxiter:
-                    break
-            xg, res = state[0], np.sqrt(rr_f)
-            return xg[self.dof_to_grid], it, res
-        else:
-            xg, it, res = _grid_cg(*self._grid_statics(),
-                                   *self._grid_arrays(), bg, rtol,
-                                   maxiter)
+            return self._chunked_cg(_grid_cg_fold_init,
+                                    _grid_cg_fold_chunk, statics, arrays,
+                                    bg, rtol, maxiter, dispatch_chunk)
+        xg, it, res = _grid_cg(*self._grid_statics(),
+                               *self._grid_arrays(), bg, rtol, maxiter)
         return xg[self.dof_to_grid], it, res
+
+    def _chunked_cg(self, init_fn, chunk_fn, statics, arrays, bg, rtol,
+                    maxiter, dispatch_chunk):
+        state, bb2 = init_fn(*statics, *arrays, bg)
+        tol2 = rtol * rtol * float(bb2)
+        chunk = max(1, int(dispatch_chunk))
+        it = 0
+        while True:
+            state, rr = chunk_fn(*statics, *arrays, state,
+                                 jnp.asarray(tol2, bg.dtype),
+                                 jnp.asarray(min(it + chunk, maxiter),
+                                             jnp.int32))
+            rr_f = float(rr)
+            it = int(state[4])
+            if rr_f <= tol2 or it >= maxiter:
+                break
+        return state[0][self.dof_to_grid], it, np.sqrt(rr_f)
 
     # -- cube-block additive Schwarz preconditioner ---------------------------
 
@@ -568,17 +588,32 @@ class StencilCutOperator:
         tensors = []
         for k in range(7):
             dense = jnp.zeros((nbb, L, L), dtype)
-            for (cubes, elems, ii, slr, slc, em) in jobs[k]:
+            # group per instance: one chunked fold instead of one device
+            # dispatch per (instance, offset) — RPC latency dominates
+            # small dispatches on the remote chip
+            for ii in range(len(self.rest_mats)):
+                ent = [j for j in jobs[k] if j[2] == ii]
+                if not ent:
+                    continue
+                cubes = np.concatenate([j[0] for j in ent])
+                elems = np.concatenate([j[1] for j in ent])
+                slr = np.concatenate([j[3] for j in ent])
+                slc = np.concatenate([j[4] for j in ent])
+                em = np.concatenate([j[5] for j in ent])
                 Ae = self.rest_mats[ii]
-                tgt = jnp.asarray(lin(cubes).astype(np.int32))
+                tgt = lin(cubes).astype(np.int32)
                 for st in range(0, len(cubes), CHK):
+                    sl_ = slice(st, st + CHK)
+                    P = len(tgt[sl_])
+                    pad = _fold_bucket(P) - P
                     fold = _fold_pairs_masked(
                         Ae,
-                        jnp.asarray(elems[st:st + CHK].astype(np.int32)),
-                        jnp.asarray(slr[st:st + CHK].astype(np.int32)),
-                        jnp.asarray(slc[st:st + CHK].astype(np.int32)),
-                        jnp.asarray(em[st:st + CHK]), L)
-                    dense = dense.at[tgt[st:st + CHK]].add(fold)
+                        jnp.asarray(_padz(elems[sl_], pad, np.int32)),
+                        jnp.asarray(_padz(slr[sl_], pad, np.int32, -1)),
+                        jnp.asarray(_padz(slc[sl_], pad, np.int32, -1)),
+                        jnp.asarray(_padz(em[sl_], pad, bool)), L)
+                    dense = dense.at[jnp.asarray(
+                        _padz(tgt[sl_], pad, np.int32))].add(fold)
             tensors.append(dense.reshape(nbx, nby, nbz, L, L))
         self._bf_diag = tensors[0]
         self._bf_fwd = tuple(tensors[1:4])
@@ -657,10 +692,13 @@ class StencilCutOperator:
         for (cubes, elems, slots), Ae in zip(inst_pairs, self.rest_mats):
             bidx = np.searchsorted(band, cubes).astype(np.int32)
             for st in range(0, len(cubes), CH):
+                sl_ = slice(st, st + CH)
+                pad = _fold_bucket(len(bidx[sl_])) - len(bidx[sl_])
                 fold = _fold_pairs_device(
-                    Ae, jnp.asarray(elems[st:st + CH].astype(np.int32)),
-                    jnp.asarray(slots[st:st + CH].astype(np.int32)), L)
-                blocks = blocks.at[jnp.asarray(bidx[st:st + CH])].add(fold)
+                    Ae, jnp.asarray(_padz(elems[sl_], pad, np.int32)),
+                    jnp.asarray(_padz(slots[sl_], pad, np.int32, -1)), L)
+                blocks = blocks.at[jnp.asarray(
+                    _padz(bidx[sl_], pad, np.int32))].add(fold)
         # -- base: A_local for fully-standard cubes (device)
         full_flat = np.asarray(self.cube_mask).reshape(-1)
         fb = np.flatnonzero(full_flat[band]).astype(np.int32)
@@ -794,6 +832,24 @@ def _grid_cg(n, N, nch, table, gsize, A_local, cube_mask, active_grid,
               M=lambda r: r / dg, rtol=rtol, maxiter=maxiter)
 
 
+def _fold_bucket(P, lo=4096):
+    """Round a fold-chunk length up to a power-of-2 bucket so the jitted
+    fold compiles once per bucket, not once per remainder shape."""
+    b = lo
+    while b < P:
+        b <<= 1
+    return b
+
+
+def _padz(a, pad, dt, fill=0):
+    """Pad array a with `pad` fill rows along axis 0 (dtype dt)."""
+    a = np.asarray(a, dt)
+    if pad <= 0:
+        return a
+    return np.concatenate(
+        [a, np.full((pad,) + a.shape[1:], fill, dt)])
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _fold_pairs_device(Ae, elem, slots, L):
     """Fold element matrices onto cube-slot tables: for pair p,
@@ -923,6 +979,32 @@ def _asm_apply_body(n, N, nch, table, bbox, Binv, active_grid, rf):
     zf = Z.reshape(-1)
     # every active dof is covered by >= 1 block; inactive slots keep r
     return jnp.where(active_grid, zf, rf)
+
+
+def _gather_asm_ops(n, N, nch, table, gsize, bbox_asm, A_local,
+                    cube_mask, active_grid, identity_grid, rest_mats,
+                    rest_rows, rest_cols, permg, sortedg, Binv):
+    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+            identity_grid, rest_mats, rest_rows, rest_cols, permg,
+            sortedg)
+    return (lambda Xf: _grid_apply_body(*args, Xf),
+            lambda r: _asm_apply_body(n, N, nch, table, bbox_asm, Binv,
+                                      active_grid, r))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _grid_cg_asm_init(*a):
+    from .la import cg_init
+    op, M = _gather_asm_ops(*a[:-1])
+    return cg_init(op, a[-1], M=M)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _grid_cg_asm_chunk(*a):
+    from .la import cg_resume
+    op, M = _gather_asm_ops(*a[:-3])
+    state = cg_resume(op, a[-3], M, a[-2], a[-1])
+    return state, jnp.vdot(state[1], state[1]).real
 
 
 def _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf, A_local,
