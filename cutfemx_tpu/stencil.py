@@ -368,7 +368,7 @@ class StencilCutOperator:
         return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
     def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="asm",
-                 dispatch_chunk=100):
+                 dispatch_chunk=None):
         """Fully-jitted preconditioned CG, grid layout end-to-end: the
         interior apply is pure slicing + one batched matmul (no gathers);
         only the cut band gathers. Takes and returns dof vectors. The jit
@@ -418,6 +418,12 @@ class StencilCutOperator:
                     maxiter, dispatch_chunk):
         state, bb2 = init_fn(*statics, *arrays, bg)
         tol2 = rtol * rtol * float(bb2)
+        if dispatch_chunk is None:
+            # auto: ~20s per dispatch at the measured ~16 ns per grid
+            # slot per iteration — small problems solve in ONE dispatch
+            # (each extra dispatch costs an RPC round trip on the remote
+            # chip), 10M-dof stays under the runtime's dispatch limit
+            dispatch_chunk = max(50, int(1.25e9 / max(self.gsize, 1)))
         chunk = max(1, int(dispatch_chunk))
         it = 0
         while True:
