@@ -396,7 +396,7 @@ class StencilCutOperator:
             self._ensure_cube_asm()
             statics = (*self._grid_statics(), self._asm_bbox)
             arrays = (*self._grid_arrays(), self._asm_binv)
-            return self._chunked_cg(_grid_cg_asm_init, _grid_cg_asm_chunk,
+            return self._chunked_cg(_grid_cg_asm_first, _grid_cg_asm_chunk,
                                     statics, arrays, bg, rtol, maxiter,
                                     dispatch_chunk)
         if precond == "asm-fold":
@@ -407,17 +407,15 @@ class StencilCutOperator:
             arrays = (self.A_local, self.cube_mask_j, self.active_grid,
                       self.identity_grid, self._bf_diag, self._bf_fwd,
                       self._bf_rev, self._asm_binv)
-            return self._chunked_cg(_grid_cg_fold_init,
+            return self._chunked_cg(_grid_cg_fold_first,
                                     _grid_cg_fold_chunk, statics, arrays,
                                     bg, rtol, maxiter, dispatch_chunk)
         xg, it, res = _grid_cg(*self._grid_statics(),
                                *self._grid_arrays(), bg, rtol, maxiter)
         return xg[self.dof_to_grid], it, res
 
-    def _chunked_cg(self, init_fn, chunk_fn, statics, arrays, bg, rtol,
+    def _chunked_cg(self, first_fn, chunk_fn, statics, arrays, bg, rtol,
                     maxiter, dispatch_chunk):
-        state, bb2 = init_fn(*statics, *arrays, bg)
-        tol2 = rtol * rtol * float(bb2)
         if dispatch_chunk is None:
             # auto: ~20s per dispatch at the measured ~16 ns per grid
             # slot per iteration — small problems solve in ONE dispatch
@@ -425,16 +423,18 @@ class StencilCutOperator:
             # chip), 10M-dof stays under the runtime's dispatch limit
             dispatch_chunk = max(50, int(1.25e9 / max(self.gsize, 1)))
         chunk = max(1, int(dispatch_chunk))
-        it = 0
-        while True:
+        state, rr, tol2d = first_fn(
+            *statics, *arrays, bg, jnp.asarray(rtol, bg.dtype),
+            jnp.asarray(min(chunk, maxiter), jnp.int32))
+        rr_f, tol2 = float(rr), float(tol2d)
+        it = int(state[4])
+        while rr_f > tol2 and it < maxiter:
             state, rr = chunk_fn(*statics, *arrays, state,
                                  jnp.asarray(tol2, bg.dtype),
                                  jnp.asarray(min(it + chunk, maxiter),
                                              jnp.int32))
             rr_f = float(rr)
             it = int(state[4])
-            if rr_f <= tol2 or it >= maxiter:
-                break
         return state[0][self.dof_to_grid], it, np.sqrt(rr_f)
 
     # -- cube-block additive Schwarz preconditioner ---------------------------
@@ -998,11 +998,20 @@ def _gather_asm_ops(n, N, nch, table, gsize, bbox_asm, A_local,
                                       active_grid, r))
 
 
+def _cg_first(op, M, bg, rtol, it_cap):
+    """init + first resume fused into ONE device dispatch (each dispatch
+    is an RPC round trip on the remote chip). Returns (state, rr, tol2)."""
+    from .la import cg_init, cg_resume
+    state, bb = cg_init(op, bg, M=M)
+    tol2 = (rtol * rtol) * bb
+    state = cg_resume(op, state, M, tol2, it_cap)
+    return state, jnp.vdot(state[1], state[1]).real, tol2
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _grid_cg_asm_init(*a):
-    from .la import cg_init
-    op, M = _gather_asm_ops(*a[:-1])
-    return cg_init(op, a[-1], M=M)
+def _grid_cg_asm_first(*a):
+    op, M = _gather_asm_ops(*a[:-3])
+    return _cg_first(op, M, *a[-3:])
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -1023,14 +1032,9 @@ def _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf, A_local,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _grid_cg_fold_init(n, N, nch, table, gsize, bbox_asm, bbox_bf,
-                       A_local, cube_mask, active_grid, identity_grid,
-                       Dg, Fwd, Rev, Binv, bg):
-    from .la import cg_init
-    op, M = _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf,
-                      A_local, cube_mask, active_grid, identity_grid,
-                      Dg, Fwd, Rev, Binv)
-    return cg_init(op, bg, M=M)
+def _grid_cg_fold_first(*a):
+    op, M = _fold_ops(*a[:-3])
+    return _cg_first(op, M, *a[-3:])
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
