@@ -100,6 +100,19 @@ def test_band_fold_apply_exact(n, deg):
     assert err < 1e-11, err
 
 
+def test_stencil_asm_fold_solve():
+    """The opt-in folded-apply solve (zero gathers) converges to the same
+    residual as the gather-path ASM solve."""
+    V, af, dom, b = _problem(10, 2)
+    op0 = fem.CutOperator(af, dom)
+    op1 = StencilCutOperator(af, dom)
+    xf, itf, _ = op1.solve_cg(b, rtol=1e-8, maxiter=2000,
+                              precond="asm-fold")
+    bb = np.where(dom.active_mask, np.asarray(b), 0.0)
+    res = np.linalg.norm(np.asarray(op0(jnp.asarray(xf))) - bb)
+    assert res <= 1.05e-8 * np.linalg.norm(bb)
+
+
 def test_stencil_asm_precond():
     """Cube-block additive Schwarz: converges to the same residual in the
     reference operator's metric with materially fewer iterations (the
