@@ -281,6 +281,45 @@ class HaloOperator:
         return self.to_global(x), int(it), float(res)
 
 
+def _halo_sync(op, y, send_l, send_r, gl_valid, gr_valid):
+    """Ghost->owner adds then owner->ghost refresh (2+2 ppermutes)."""
+    part = op.part
+    axis = op.axis
+    nparts = part.nparts
+    om, gl, gr = part.owned_max, part.gl_max, part.gr_max
+    gl_part = jnp.where(gl_valid, y[om:om + gl], 0.0)
+    recv_from_right = jax.lax.ppermute(
+        gl_part, axis, [(p, p - 1) for p in range(1, nparts)])
+    y = y.at[send_l].add(recv_from_right)
+    gr_part = jnp.where(gr_valid, y[om + gl:om + gl + gr], 0.0)
+    recv_from_left = jax.lax.ppermute(
+        gr_part, axis, [(p, p + 1) for p in range(nparts - 1)])
+    y = y.at[send_r].add(recv_from_left)
+    to_right = jax.lax.ppermute(
+        y[send_l], axis, [(p, p + 1) for p in range(nparts - 1)])
+    y = y.at[om:om + gl].set(jnp.where(gl_valid, to_right, 0.0))
+    to_left = jax.lax.ppermute(
+        y[send_r], axis, [(p, p - 1) for p in range(1, nparts)])
+    y = y.at[om + gl:om + gl + gr].set(jnp.where(gr_valid, to_left, 0.0))
+    return y
+
+
+def _diag_body(op, instances, active, owned, send_l, send_r, gl_valid,
+               gr_valid):
+    """Assembled operator diagonal per shard (duplicate-slot aware: a
+    facet-pair element lists shared dofs twice, so their cross entries
+    belong on the diagonal), halo-summed like the apply."""
+    d = jnp.zeros(op.part.local_size, instances[0][0].dtype)
+    for A, D in instances:
+        Ae, dd = A[0], D[0]
+        eq = dd[:, :, None] == dd[:, None, :]
+        contrib = jnp.sum(jnp.where(eq, Ae, 0.0), axis=2)
+        d = d.at[dd.ravel()].add(contrib.ravel())
+    d = _halo_sync(op, d, send_l[0], send_r[0], gl_valid[0], gr_valid[0])
+    d = jnp.where(active[0] & (jnp.abs(d) > 1e-30), d, 1.0)
+    return d[None]
+
+
 def _apply_body(op, instances, active, owned, send_l, send_r, gl_valid,
                 gr_valid, x):
     """Per-shard operator application (inside shard_map; every array has a
@@ -296,23 +335,7 @@ def _apply_body(op, instances, active, owned, send_l, send_r, gl_valid,
         Ae, dd = A[0], D[0]
         ye = jnp.einsum("eij,ej->ei", Ae, xin[dd])
         y = y.at[dd.ravel()].add(ye.ravel())
-    # ghost -> owner adds
-    gl_part = jnp.where(gl_valid[0], y[om:om + gl], 0.0)
-    recv_from_right = jax.lax.ppermute(
-        gl_part, axis, [(p, p - 1) for p in range(1, nparts)])
-    y = y.at[send_l[0]].add(recv_from_right)
-    gr_part = jnp.where(gr_valid[0], y[om + gl:om + gl + gr], 0.0)
-    recv_from_left = jax.lax.ppermute(
-        gr_part, axis, [(p, p + 1) for p in range(nparts - 1)])
-    y = y.at[send_r[0]].add(recv_from_left)
-    # owner -> ghost refresh
-    to_right = jax.lax.ppermute(
-        y[send_l[0]], axis, [(p, p + 1) for p in range(nparts - 1)])
-    y = y.at[om:om + gl].set(jnp.where(gl_valid[0], to_right, 0.0))
-    to_left = jax.lax.ppermute(
-        y[send_r[0]], axis, [(p, p - 1) for p in range(1, nparts)])
-    y = y.at[om + gl:om + gl + gr].set(
-        jnp.where(gr_valid[0], to_left, 0.0))
+    y = _halo_sync(op, y, send_l[0], send_r[0], gl_valid[0], gr_valid[0])
     y = jnp.where(active[0], y, x)
     return y[None]
 
@@ -340,21 +363,47 @@ def _halo_cg(op: HaloOperator, b, rtol, maxiter):
         return run(*flat, op.d_active, op.d_owned, op.d_send_l,
                    op.d_send_r, op.d_gl_valid, op.d_gr_valid, x)
 
+    def diag_sharded():
+        flat = []
+        for A, D in op.d_instances:
+            flat += [A, D]
+        n_extra = 6
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=tuple([spec] * (len(flat) + n_extra)),
+                 out_specs=spec)
+        def run(*args):
+            *flat_in, active, owned_, send_l, send_r, glv, grv = args
+            insts = [(flat_in[2 * i], flat_in[2 * i + 1])
+                     for i in range(len(op.d_instances))]
+            return _diag_body(op, insts, active, owned_, send_l, send_r,
+                              glv, grv)
+        return run(*flat, op.d_active, op.d_owned, op.d_send_l,
+                   op.d_send_r, op.d_gl_valid, op.d_gr_valid)
+
     owned = op.d_owned
 
     def pdot(u, v):
         return jnp.sum(jnp.where(owned, u * v, 0.0))
 
+    # Jacobi-preconditioned CG (the reference's demos run unpreconditioned
+    # KSP defaults; the assembled diagonal costs one extra sharded pass)
+    d = diag_sharded()
+
+    def M(r_):
+        return jnp.where(op.d_active, r_ / d, r_)
+
     bb = jnp.where(op.d_active, b, 0.0)
     x = jnp.zeros_like(bb)
     r = bb - apply_sharded(x)
-    p_vec = r
-    rz = pdot(r, r)
-    tol2 = (rtol ** 2) * rz
+    z = M(r)
+    p_vec = z
+    rz = pdot(r, z)
+    tol2 = (rtol ** 2) * pdot(r, r)
 
     def cond(state):
         x, r, p_vec, rz, it = state
-        return (rz > tol2) & (it < maxiter)
+        return (pdot(r, r) > tol2) & (it < maxiter)
 
     def body(state):
         x, r, p_vec, rz, it = state
@@ -362,9 +411,10 @@ def _halo_cg(op: HaloOperator, b, rtol, maxiter):
         alpha = rz / pdot(p_vec, Ap)
         x = x + alpha * p_vec
         r = r - alpha * Ap
-        rz_new = pdot(r, r)
+        z = M(r)
+        rz_new = pdot(r, z)
         beta = rz_new / rz
-        return (x, r, r + beta * p_vec, rz_new, it + 1)
+        return (x, r, z + beta * p_vec, rz_new, it + 1)
 
     x, r, p_vec, rz, it = jax.lax.while_loop(
         cond, body, (x, r, p_vec, rz, 0))
