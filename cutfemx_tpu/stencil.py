@@ -416,26 +416,32 @@ class StencilCutOperator:
 
     def _chunked_cg(self, first_fn, chunk_fn, statics, arrays, bg, rtol,
                     maxiter, dispatch_chunk):
+        """Host loop of bounded CG dispatches with a TRUE-RESIDUAL
+        RESTART at every chunk boundary. The restart serves two purposes:
+        it keeps each dispatch under the remote runtime's wall-time
+        limit, and it truncates f32 recurrence drift — the block-ASM
+        preconditioned recurrence converges to ~3e-5 then DIVERGES past
+        ~200 unrestarted iterations at 10M dofs (tools/probe108b.py),
+        while restarted chunks are monotone in the true residual."""
         if dispatch_chunk is None:
-            # auto: ~20s per dispatch at the measured ~16 ns per grid
-            # slot per iteration — small problems solve in ONE dispatch
-            # (each extra dispatch costs an RPC round trip on the remote
-            # chip), 10M-dof stays under the runtime's dispatch limit
+            # ~20s per dispatch at the measured ~16 ns per grid slot per
+            # iteration — small problems solve in ONE dispatch (each
+            # extra dispatch costs an RPC round trip on the remote chip)
             dispatch_chunk = max(50, int(1.25e9 / max(self.gsize, 1)))
-        chunk = max(1, int(dispatch_chunk))
+        chunk = max(1, min(int(dispatch_chunk), 150))
         state, rr, tol2d = first_fn(
             *statics, *arrays, bg, jnp.asarray(rtol, bg.dtype),
             jnp.asarray(min(chunk, maxiter), jnp.int32))
         rr_f, tol2 = float(rr), float(tol2d)
         it = int(state[4])
+        x = state[0]
         while rr_f > tol2 and it < maxiter:
-            state, rr = chunk_fn(*statics, *arrays, state,
-                                 jnp.asarray(tol2, bg.dtype),
-                                 jnp.asarray(min(it + chunk, maxiter),
-                                             jnp.int32))
+            x, rr, its_done = chunk_fn(
+                *statics, *arrays, bg, x, jnp.asarray(tol2, bg.dtype),
+                jnp.asarray(min(chunk, maxiter - it), jnp.int32))
             rr_f = float(rr)
-            it = int(state[4])
-        return state[0][self.dof_to_grid], it, np.sqrt(rr_f)
+            it += int(its_done) + 1   # +1: the restart's fresh apply
+        return x[self.dof_to_grid], it, np.sqrt(rr_f)
 
     # -- cube-block additive Schwarz preconditioner ---------------------------
 
@@ -952,18 +958,32 @@ def _spd_clamp_inverse(blocks, rel=1e-10):
 
 @jax.jit
 def _spd_inverse_device(blocks):
-    """Batched symmetrize + ridge + LU inverse + re-symmetrize. Host eigh
-    over the band blocks costs seconds at bench sizes; measured block
-    spectra are comfortably SPD (min/max eig ratio ~1e-3 at n=16), so a
-    1e-6 relative ridge plus f32 LU is accurate to ~1e-4 — plenty for a
-    preconditioner."""
+    """Batched SPD block inversion, robust at f32:
+
+    1. symmetrize + diagonal equilibration (unit-diagonal scaling) so LU
+       operates on O(1)-conditioned matrices,
+    2. relative ridge,
+    3. LU inverse + re-symmetrize,
+    4. batched Cholesky check on the equilibrated block — any block that
+       is not numerically SPD (sliver-cut cubes at large n) falls back to
+       its diagonal inverse, keeping the additive-Schwarz sum SPD.
+
+    A marginally indefinite block is worse than a weaker one: PCG
+    DIVERGES with an indefinite M (seen at n=108 before this check)."""
     sym = 0.5 * (blocks + jnp.swapaxes(blocks, -1, -2))
     L = blocks.shape[-1]
-    dmax = jnp.max(jnp.abs(jnp.diagonal(sym, axis1=-2, axis2=-1)),
-                   axis=-1)[..., None, None]
-    sym = sym + 1e-6 * dmax * jnp.eye(L, dtype=blocks.dtype)
-    inv = jnp.linalg.inv(sym)
-    return 0.5 * (inv + jnp.swapaxes(inv, -1, -2))
+    d = jnp.diagonal(sym, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-30))
+    eq = sym * s[..., :, None] * s[..., None, :]
+    eye = jnp.eye(L, dtype=blocks.dtype)
+    eq = eq + 1e-5 * eye
+    inv_eq = jnp.linalg.inv(eq)
+    inv_eq = 0.5 * (inv_eq + jnp.swapaxes(inv_eq, -1, -2))
+    chol = jnp.linalg.cholesky(eq - 0.5e-5 * eye)
+    bad = jnp.isnan(chol).any(axis=(-1, -2)) | \
+        jnp.isnan(inv_eq).any(axis=(-1, -2))
+    inv_eq = jnp.where(bad[..., None, None], eye, inv_eq)
+    return inv_eq * s[..., :, None] * s[..., None, :]
 
 
 def _asm_apply_body(n, N, nch, table, bbox, Binv, active_grid, rf):
@@ -1008,6 +1028,15 @@ def _cg_first(op, M, bg, rtol, it_cap):
     return state, jnp.vdot(state[1], state[1]).real, tol2
 
 
+def _cg_restart(op, M, bg, x0, tol2, it_cap):
+    """Fresh-start chunk: recompute the TRUE residual at x0, run up to
+    it_cap iterations. Returns (x, rr, iterations_done)."""
+    from .la import cg_init, cg_resume
+    state, _ = cg_init(op, bg, x0=x0, M=M)
+    state = cg_resume(op, state, M, tol2, it_cap)
+    return state[0], jnp.vdot(state[1], state[1]).real, state[4]
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _grid_cg_asm_first(*a):
     op, M = _gather_asm_ops(*a[:-3])
@@ -1016,10 +1045,8 @@ def _grid_cg_asm_first(*a):
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _grid_cg_asm_chunk(*a):
-    from .la import cg_resume
-    op, M = _gather_asm_ops(*a[:-3])
-    state = cg_resume(op, a[-3], M, a[-2], a[-1])
-    return state, jnp.vdot(state[1], state[1]).real
+    op, M = _gather_asm_ops(*a[:-4])
+    return _cg_restart(op, M, *a[-4:])
 
 
 def _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf, A_local,
@@ -1038,33 +1065,10 @@ def _grid_cg_fold_first(*a):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _grid_cg_fold_chunk(n, N, nch, table, gsize, bbox_asm, bbox_bf,
-                        A_local, cube_mask, active_grid, identity_grid,
-                        Dg, Fwd, Rev, Binv, state, tol2, it_cap):
-    """One bounded CG dispatch (<= it_cap total iterations). Long solves
-    run as a host loop over these chunks: a single while_loop dispatch
-    covering hundreds of iterations at 10M dofs exceeds the remote TPU
-    runtime's per-dispatch limit and surfaces as a device fault."""
-    from .la import cg_resume
-    op, M = _fold_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf,
-                      A_local, cube_mask, active_grid, identity_grid,
-                      Dg, Fwd, Rev, Binv)
-    state = cg_resume(op, state, M, tol2, it_cap)
-    return state, jnp.vdot(state[1], state[1]).real
-
-
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _grid_cg_asm(n, N, nch, table, gsize, bbox, A_local, cube_mask,
-                 active_grid, identity_grid, rest_mats, rest_rows,
-                 rest_cols, permg, sortedg, Binv, bg, rtol, maxiter):
-    from .la import cg
-    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
-            identity_grid, rest_mats, rest_rows, rest_cols, permg,
-            sortedg)
-    return cg(lambda Xf: _grid_apply_body(*args, Xf), bg,
-              M=lambda r: _asm_apply_body(n, N, nch, table, bbox, Binv,
-                                          active_grid, r),
-              rtol=rtol, maxiter=maxiter)
+def _grid_cg_fold_chunk(*a):
+    """Restart chunk for the folded apply (see _chunked_cg)."""
+    op, M = _fold_ops(*a[:-4])
+    return _cg_restart(op, M, *a[-4:])
 
 
 def _stencil_apply_grid(op, Xf):
