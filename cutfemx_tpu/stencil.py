@@ -435,12 +435,44 @@ class StencilCutOperator:
         rr_f, tol2 = float(rr), float(tol2d)
         it = int(state[4])
         x = state[0]
+        best_x, best_rr = x, rr_f
         while rr_f > tol2 and it < maxiter:
             x, rr, its_done = chunk_fn(
                 *statics, *arrays, bg, x, jnp.asarray(tol2, bg.dtype),
                 jnp.asarray(min(chunk, maxiter - it), jnp.int32))
             rr_f = float(rr)
             it += int(its_done) + 1   # +1: the restart's fresh apply
+            # f32 accuracy floor of the block preconditioner: if a chunk
+            # diverges, NaNs, or (for a full-size chunk) stalls above
+            # tolerance, finish with the Jacobi recurrence (lower floor)
+            # from the best iterate
+            if (not np.isfinite(rr_f)) or rr_f > 4.0 * best_rr or \
+                    (int(its_done) >= 50 and rr_f > 0.7 * best_rr):
+                if rr_f < best_rr:
+                    best_x, best_rr = x, rr_f
+                if best_rr <= tol2:
+                    break
+                return self._jacobi_tail(bg, best_x, tol2, it, maxiter,
+                                         chunk)
+            if rr_f < best_rr:
+                best_x, best_rr = x, rr_f
+        if rr_f <= best_rr:
+            best_x, best_rr = x, rr_f
+        return best_x[self.dof_to_grid], it, np.sqrt(best_rr)
+
+    def _jacobi_tail(self, bg, x0, tol2, it, maxiter, chunk):
+        """Finish a solve with restarted Jacobi-PCG chunks from x0."""
+        statics = self._grid_statics()
+        arrays = self._grid_arrays()
+        x, rr_f = x0, np.inf
+        while it < maxiter:
+            x, rr, its_done = _grid_cg_jac_chunk(
+                *statics, *arrays, bg, x, jnp.asarray(tol2, bg.dtype),
+                jnp.asarray(min(chunk, maxiter - it), jnp.int32))
+            rr_f = float(rr)
+            it += int(its_done) + 1
+            if not np.isfinite(rr_f) or rr_f <= tol2:
+                break
         return x[self.dof_to_grid], it, np.sqrt(rr_f)
 
     # -- cube-block additive Schwarz preconditioner ---------------------------
@@ -1035,6 +1067,20 @@ def _cg_restart(op, M, bg, x0, tol2, it_cap):
     state, _ = cg_init(op, bg, x0=x0, M=M)
     state = cg_resume(op, state, M, tol2, it_cap)
     return state[0], jnp.vdot(state[1], state[1]).real, state[4]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _grid_cg_jac_chunk(n, N, nch, table, gsize, A_local, cube_mask,
+                       active_grid, identity_grid, rest_mats, rest_rows,
+                       rest_cols, permg, sortedg, bg, x0, tol2, it_cap):
+    """Restart chunk with the Jacobi preconditioner (fallback tail when
+    the block-ASM recurrence hits its f32 accuracy floor)."""
+    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+            identity_grid, rest_mats, rest_rows, rest_cols, permg,
+            sortedg)
+    dg = _grid_diag_body(*args)
+    return _cg_restart(lambda Xf: _grid_apply_body(*args, Xf),
+                       lambda r: r / dg, bg, x0, tol2, it_cap)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
