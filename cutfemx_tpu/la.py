@@ -108,7 +108,10 @@ def cg_resume(operator, state, M, tol2, it_cap):
 
     def cond(s):
         x, r, p, rz, it = s
-        return (jnp.vdot(r, r).real > tol2) & (it < it_cap)
+        # rz > 0 is a finite-precision breakdown guard: in exact
+        # arithmetic (r, M^-1 r) stays positive, and once it is not, the
+        # recurrence can only produce garbage (NaN x within a few steps)
+        return (jnp.vdot(r, r).real > tol2) & (it < it_cap) & (rz > 0)
 
     def body(s):
         x, r, p, rz, it = s

@@ -437,16 +437,19 @@ class StencilCutOperator:
         x = state[0]
         best_x, best_rr = x, rr_f
         while rr_f > tol2 and it < maxiter:
+            cap = min(chunk, maxiter - it)
             x, rr, its_done = chunk_fn(
                 *statics, *arrays, bg, x, jnp.asarray(tol2, bg.dtype),
-                jnp.asarray(min(chunk, maxiter - it), jnp.int32))
+                jnp.asarray(cap, jnp.int32))
             rr_f = float(rr)
             it += int(its_done) + 1   # +1: the restart's fresh apply
             # f32 accuracy floor of the block preconditioner: if a chunk
-            # diverges, NaNs, or (for a full-size chunk) stalls above
-            # tolerance, finish with the Jacobi recurrence (lower floor)
-            # from the best iterate
+            # diverges, NaNs, breaks down (rz <= 0 exits the kernel loop
+            # early), or stalls at full size above tolerance, finish with
+            # the Jacobi recurrence (lower floor) from the best iterate
+            breakdown = int(its_done) < cap and rr_f > tol2
             if (not np.isfinite(rr_f)) or rr_f > 4.0 * best_rr or \
+                    breakdown or \
                     (int(its_done) >= 50 and rr_f > 0.7 * best_rr):
                 if rr_f < best_rr:
                     best_x, best_rr = x, rr_f
