@@ -100,6 +100,22 @@ def test_band_fold_apply_exact(n, deg):
     assert err < 1e-11, err
 
 
+def test_chunked_dispatch_solve():
+    """Splitting the solve into small restart chunks still converges to
+    tolerance (the 10M-dof path runs this way to respect the remote
+    runtime's per-dispatch limit)."""
+    V, af, dom, b = _problem(8, 2)
+    op = StencilCutOperator(af, dom)
+    x1, it1, r1 = op.solve_cg(b, rtol=1e-8, maxiter=2000)
+    x2, it2, r2 = op.solve_cg(b, rtol=1e-8, maxiter=2000,
+                              dispatch_chunk=9)
+    op0 = fem.CutOperator(af, dom)
+    bb = np.where(dom.active_mask, np.asarray(b), 0.0)
+    for xs in (x1, x2):
+        res = np.linalg.norm(np.asarray(op0(jnp.asarray(xs))) - bb)
+        assert res <= 1.05e-8 * np.linalg.norm(bb)
+
+
 def test_stencil_asm_fold_solve():
     """The opt-in folded-apply solve (zero gathers) converges to the same
     residual as the gather-path ASM solve."""
