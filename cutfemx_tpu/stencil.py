@@ -33,6 +33,9 @@ from .mg import structured_lattice_info
 
 __all__ = ["StencilCutOperator"]
 
+import os as _os
+_CG_DEBUG = bool(_os.environ.get("CUTFEMX_CG_DEBUG"))
+
 _EDGE_CLASS = {
     (1, 0, 0): 1, (0, 1, 0): 2, (0, 0, 1): 3,
     (1, 1, 0): 4, (1, 0, 1): 5, (0, 1, 1): 6, (1, 1, 1): 7,
@@ -435,6 +438,14 @@ class StencilCutOperator:
         rr_f, tol2 = float(rr), float(tol2d)
         it = int(state[4])
         x = state[0]
+        if _CG_DEBUG:
+            print(f"[cg] first chunk: its={it} rr={rr_f:.4e} "
+                  f"tol2={tol2:.4e}", flush=True)
+        if not np.isfinite(rr_f):
+            # first chunk already broke down (NaN > tol2 is False, so the
+            # loop below would silently return garbage)
+            return self._jacobi_tail(bg, jnp.zeros_like(bg), tol2, it,
+                                     maxiter, chunk)
         best_x, best_rr = x, rr_f
         while rr_f > tol2 and it < maxiter:
             cap = min(chunk, maxiter - it)
@@ -443,6 +454,9 @@ class StencilCutOperator:
                 jnp.asarray(cap, jnp.int32))
             rr_f = float(rr)
             it += int(its_done) + 1   # +1: the restart's fresh apply
+            if _CG_DEBUG:
+                print(f"[cg] asm chunk: +{int(its_done)} its "
+                      f"rr={rr_f:.4e}", flush=True)
             # f32 accuracy floor of the block preconditioner: if a chunk
             # diverges, NaNs, breaks down (rz <= 0 exits the kernel loop
             # early), or stalls at full size above tolerance, finish with
@@ -468,13 +482,23 @@ class StencilCutOperator:
         statics = self._grid_statics()
         arrays = self._grid_arrays()
         x, rr_f = x0, np.inf
+        retried_from_zero = False
         while it < maxiter:
             x, rr, its_done = _grid_cg_jac_chunk(
                 *statics, *arrays, bg, x, jnp.asarray(tol2, bg.dtype),
                 jnp.asarray(min(chunk, maxiter - it), jnp.int32))
             rr_f = float(rr)
             it += int(its_done) + 1
-            if not np.isfinite(rr_f) or rr_f <= tol2:
+            if _CG_DEBUG:
+                print(f"[cg] jacobi chunk: +{int(its_done)} its "
+                      f"rr={rr_f:.4e}", flush=True)
+            if not np.isfinite(rr_f):
+                if retried_from_zero:
+                    break
+                retried_from_zero = True
+                x = jnp.zeros_like(bg)   # discard a poisoned iterate
+                continue
+            if rr_f <= tol2:
                 break
         return x[self.dof_to_grid], it, np.sqrt(rr_f)
 
@@ -1082,6 +1106,7 @@ def _grid_cg_jac_chunk(n, N, nch, table, gsize, A_local, cube_mask,
             identity_grid, rest_mats, rest_rows, rest_cols, permg,
             sortedg)
     dg = _grid_diag_body(*args)
+    dg = jnp.where(jnp.abs(dg) > 1e-30, dg, 1.0)  # 0/0 -> NaN guard
     return _cg_restart(lambda Xf: _grid_apply_body(*args, Xf),
                        lambda r: r / dg, bg, x0, tol2, it_cap)
 
