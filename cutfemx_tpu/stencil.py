@@ -787,15 +787,21 @@ class StencilCutOperator:
         posd = jnp.asarray(pos.astype(np.int32))
         d_b = d_exact[posd]
         a_b = self.active_grid[posd]
-        # near-zero-diagonal active slots (sliver-cut dofs decoupled from
-        # the ghost-penalty band) get identity treatment: block inverses
-        # would otherwise amplify the matching near-null operator mode
-        # into O(1) solution drift
-        a_b &= d_b > 1e-10 * jnp.maximum(jnp.max(d_exact), 1.0)
-        af_ = a_b.astype(dtype)
-        blocks = blocks * af_[:, :, None] * af_[:, None, :]
+        # WEAK slots: dofs whose operator diagonal sits far below the
+        # ghost-penalty-stabilized scale (true slivers / near-null
+        # directions). Their block ROWS must not mix healthy residuals
+        # with ~1/d amplification — that injects enormous near-null
+        # components into x, whose f32 A*x roundoff then swamps the
+        # residual (measured: CG reaches 6.5e-6 then explodes to 1e20 at
+        # n=108). Weak slots keep ONLY their own diagonal (Jacobi-like
+        # self-action, bounded cross-talk of exactly zero).
+        dmax = jnp.maximum(jnp.max(d_exact), 1.0)
+        weak = d_b <= 1e-6 * dmax
+        couple = (a_b & ~weak).astype(dtype)
+        blocks = blocks * couple[:, :, None] * couple[:, None, :]
         ii_ = jnp.arange(L)
-        blocks = blocks.at[:, ii_, ii_].set(jnp.where(a_b, d_b, 1.0))
+        diag_vals = jnp.where(a_b, jnp.maximum(d_b, 1e-30 * dmax), 1.0)
+        blocks = blocks.at[:, ii_, ii_].set(diag_vals)
 
         # batched LU inversion on device (host eigh costs seconds at
         # bench sizes; spectra are safely SPD — see _spd_inverse_device)
