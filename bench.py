@@ -53,6 +53,10 @@ def _prefault_worker(mb_total: int, nthreads: int = 32):
 
 def main():
     import jax
+    # x64 lets the solver's mixed-precision refinement measure TRUE
+    # residuals with one emulated-f64 apply per outer step; all compute
+    # arrays stay explicitly float32 (forms below)
+    jax.config.update("jax_enable_x64", True)
 
     import cutfemx_tpu as cfx
     from cutfemx_tpu import fem
@@ -106,7 +110,8 @@ def main():
                                   jump(grad(v), nf)) * dSg
         L = f * v * dxo + (-dot(grad(v), ng) * ue
                            + gamma / h * ue * v) * dxg
-        af, Lf = fem.form(a), fem.form(L)
+        af = fem.form(a, dtype=np.float32)
+        Lf = fem.form(L, dtype=np.float32)
         dom = fem.active_domain(af)
         b = fem.assemble_vector(Lf)
         if solver == "mg":

@@ -371,7 +371,7 @@ class StencilCutOperator:
         return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
     def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="asm",
-                 dispatch_chunk=None):
+                 dispatch_chunk=None, refine="auto"):
         """Fully-jitted preconditioned CG, grid layout end-to-end: the
         interior apply is pure slicing + one batched matmul (no gathers);
         only the cut band gathers. Takes and returns dof vectors. The jit
@@ -395,6 +395,21 @@ class StencilCutOperator:
         bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
             if self.active is not None else jnp.asarray(b)
         bg = self.vec_to_grid(bb)
+        if precond in ("asm", "asm-fold"):
+            f64_ok = jnp.zeros(0, jnp.float64).dtype == jnp.float64
+            if refine is True or (refine == "auto" and f64_ok
+                                  and bg.dtype == jnp.float32):
+                return self._solve_ir(bg, rtol, maxiter, precond,
+                                      dispatch_chunk)
+            xg, it, rr = self._inner_solve(bg, rtol, maxiter, precond,
+                                           dispatch_chunk)
+            return xg[self.dof_to_grid], it, np.sqrt(rr)
+        xg, it, res = _grid_cg(*self._grid_statics(),
+                               *self._grid_arrays(), bg, rtol, maxiter)
+        return xg[self.dof_to_grid], it, res
+
+    def _inner_solve(self, bg, rtol, maxiter, precond, dispatch_chunk):
+        """Chunked f32 solve in grid layout -> (x_grid, its, rr)."""
         if precond == "asm":
             self._ensure_cube_asm()
             statics = (*self._grid_statics(), self._asm_bbox)
@@ -402,20 +417,55 @@ class StencilCutOperator:
             return self._chunked_cg(_grid_cg_asm_first, _grid_cg_asm_chunk,
                                     statics, arrays, bg, rtol, maxiter,
                                     dispatch_chunk)
-        if precond == "asm-fold":
-            self._ensure_cube_asm()
-            self._ensure_band_fold()
-            statics = (*self._grid_statics(), self._asm_bbox,
-                       self._bf_bbox)
-            arrays = (self.A_local, self.cube_mask_j, self.active_grid,
-                      self.identity_grid, self._bf_diag, self._bf_fwd,
-                      self._bf_rev, self._asm_binv)
-            return self._chunked_cg(_grid_cg_fold_first,
-                                    _grid_cg_fold_chunk, statics, arrays,
-                                    bg, rtol, maxiter, dispatch_chunk)
-        xg, it, res = _grid_cg(*self._grid_statics(),
-                               *self._grid_arrays(), bg, rtol, maxiter)
-        return xg[self.dof_to_grid], it, res
+        self._ensure_cube_asm()
+        self._ensure_band_fold()
+        statics = (*self._grid_statics(), self._asm_bbox, self._bf_bbox)
+        arrays = (self.A_local, self.cube_mask_j, self.active_grid,
+                  self.identity_grid, self._bf_diag, self._bf_fwd,
+                  self._bf_rev, self._asm_binv)
+        return self._chunked_cg(_grid_cg_fold_first, _grid_cg_fold_chunk,
+                                statics, arrays, bg, rtol, maxiter,
+                                dispatch_chunk)
+
+    def _solve_ir(self, bg, rtol, maxiter, precond, dispatch_chunk):
+        """Mixed-precision iterative refinement around the f32 solver.
+
+        The f32 APPLY has an absolute rounding floor of roughly
+        eps * sqrt(active rows) * sum|row terms| — ~1.5e-4 at 10M dofs —
+        so no f32 Krylov recurrence can reach a 1e-6 relative TRUE
+        residual there (the recurrence 'converges' to fiction while the
+        true residual stalls; measured in tools/probe108b.py). Classic
+        fix: measure the true residual with ONE f64 apply per outer step
+        (f64 is emulated but works on this TPU), then correct with a
+        SHORT f32 inner solve at loose tolerance (1e-3 relative to the
+        current residual — the inner solve never grinds at its own
+        floor). Converges to f64-class residuals at f32 speed."""
+        bg64 = bg.astype(jnp.float64)
+        bb2 = float(jnp.vdot(bg64, bg64).real)
+        tol2 = rtol * rtol * bb2
+        x64 = jnp.zeros_like(bg64)
+        total_its = 0
+        prev_rho2 = np.inf
+        rho2 = bb2
+        for outer in range(10):
+            r64 = bg64 if outer == 0 else bg64 - _grid_apply_jit(
+                *self._grid_statics(), *self._grid_arrays(), x64)
+            rho2 = float(jnp.vdot(r64, r64).real)
+            if _CG_DEBUG:
+                print(f"[ir] outer {outer}: true rr={rho2:.4e} "
+                      f"tol2={tol2:.4e}", flush=True)
+            if rho2 <= tol2 or total_its >= maxiter or \
+                    not np.isfinite(rho2) or rho2 >= 0.25 * prev_rho2:
+                break
+            prev_rho2 = rho2
+            r32 = r64.astype(jnp.float32)
+            eg, its, _ = self._inner_solve(
+                r32, 1e-3, min(maxiter - total_its, 400), precond,
+                dispatch_chunk)
+            total_its += int(its) + 1   # +1 for the outer f64 apply
+            x64 = x64 + eg.astype(jnp.float64)
+        return (x64[self.dof_to_grid].astype(bg.dtype), total_its,
+                np.sqrt(rho2))
 
     def _chunked_cg(self, first_fn, chunk_fn, statics, arrays, bg, rtol,
                     maxiter, dispatch_chunk):
@@ -475,10 +525,11 @@ class StencilCutOperator:
                 best_x, best_rr = x, rr_f
         if rr_f <= best_rr:
             best_x, best_rr = x, rr_f
-        return best_x[self.dof_to_grid], it, np.sqrt(best_rr)
+        return best_x, it, best_rr
 
     def _jacobi_tail(self, bg, x0, tol2, it, maxiter, chunk):
-        """Finish a solve with restarted Jacobi-PCG chunks from x0."""
+        """Finish a solve with restarted Jacobi-PCG chunks from x0
+        (returns a GRID vector and the squared residual)."""
         statics = self._grid_statics()
         arrays = self._grid_arrays()
         x, rr_f = x0, np.inf
@@ -500,7 +551,7 @@ class StencilCutOperator:
                 continue
             if rr_f <= tol2:
                 break
-        return x[self.dof_to_grid], it, np.sqrt(rr_f)
+        return x, it, rr_f
 
     # -- cube-block additive Schwarz preconditioner ---------------------------
 
