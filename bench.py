@@ -53,10 +53,6 @@ def _prefault_worker(mb_total: int, nthreads: int = 32):
 
 def main():
     import jax
-    # x64 lets the solver's mixed-precision refinement measure TRUE
-    # residuals with one emulated-f64 apply per outer step; all compute
-    # arrays stay explicitly float32 (forms below)
-    jax.config.update("jax_enable_x64", True)
 
     import cutfemx_tpu as cfx
     from cutfemx_tpu import fem

@@ -36,6 +36,16 @@ __all__ = ["StencilCutOperator"]
 import os as _os
 _CG_DEBUG = bool(_os.environ.get("CUTFEMX_CG_DEBUG"))
 
+
+def _f64_available():
+    """True when scoped x64 yields real float64 on this backend."""
+    enable_x64 = jax.enable_x64
+    try:
+        with enable_x64():
+            return jnp.zeros(0, jnp.float64).dtype == jnp.float64
+    except Exception:
+        return False
+
 _EDGE_CLASS = {
     (1, 0, 0): 1, (0, 1, 0): 2, (0, 0, 1): 3,
     (1, 1, 0): 4, (1, 0, 1): 5, (0, 1, 1): 6, (1, 1, 1): 7,
@@ -396,9 +406,9 @@ class StencilCutOperator:
             if self.active is not None else jnp.asarray(b)
         bg = self.vec_to_grid(bb)
         if precond in ("asm", "asm-fold"):
-            f64_ok = jnp.zeros(0, jnp.float64).dtype == jnp.float64
-            if refine is True or (refine == "auto" and f64_ok
-                                  and bg.dtype == jnp.float32):
+            if refine is True or (refine == "auto"
+                                  and bg.dtype == jnp.float32
+                                  and _f64_available()):
                 return self._solve_ir(bg, rtol, maxiter, precond,
                                       dispatch_chunk)
             xg, it, rr = self._inner_solve(bg, rtol, maxiter, precond,
@@ -435,22 +445,36 @@ class StencilCutOperator:
         so no f32 Krylov recurrence can reach a 1e-6 relative TRUE
         residual there (the recurrence 'converges' to fiction while the
         true residual stalls; measured in tools/probe108b.py). Classic
-        fix: measure the true residual with ONE f64 apply per outer step
-        (f64 is emulated but works on this TPU), then correct with a
-        SHORT f32 inner solve at loose tolerance (1e-3 relative to the
-        current residual — the inner solve never grinds at its own
-        floor). Converges to f64-class residuals at f32 speed."""
-        bg64 = bg.astype(jnp.float64)
-        bb2 = float(jnp.vdot(bg64, bg64).real)
+        fix: measure the true residual with ONE f64 apply per outer step,
+        then correct with a SHORT f32 inner solve at loose tolerance
+        (1e-3 relative to the current residual — the inner solve never
+        grinds at its own floor). Converges to f64-class residuals at
+        f32 speed.
+
+        f64 runs inside the scoped jax.enable_x64() context so the REST of the
+        pipeline keeps x32 semantics: enabling x64 globally promotes
+        every unannotated f64 constant in the kernel chain and doubles /
+        f64-emulates the assembly intermediates (16.9 GB HBM at compile
+        for the n=48 bench)."""
+        enable_x64 = jax.enable_x64
+        with enable_x64():
+            bg64 = bg.astype(jnp.float64)
+            bb2 = float(jnp.vdot(bg64, bg64).real)
         tol2 = rtol * rtol * bb2
-        x64 = jnp.zeros_like(bg64)
+        x64 = None
         total_its = 0
         prev_rho2 = np.inf
         rho2 = bb2
         for outer in range(10):
-            r64 = bg64 if outer == 0 else bg64 - _grid_apply_jit(
-                *self._grid_statics(), *self._grid_arrays(), x64)
-            rho2 = float(jnp.vdot(r64, r64).real)
+            if outer == 0:
+                r64 = bg64
+                rho2 = bb2
+            else:
+                with enable_x64():
+                    r64 = bg64 - _grid_apply_jit(*self._grid_statics(),
+                                                 *self._grid_arrays(),
+                                                 x64)
+                    rho2 = float(jnp.vdot(r64, r64).real)
             if _CG_DEBUG:
                 print(f"[ir] outer {outer}: true rr={rho2:.4e} "
                       f"tol2={tol2:.4e}", flush=True)
@@ -458,14 +482,21 @@ class StencilCutOperator:
                     not np.isfinite(rho2) or rho2 >= 0.25 * prev_rho2:
                 break
             prev_rho2 = rho2
-            r32 = r64.astype(jnp.float32)
+            with enable_x64():
+                r32 = r64.astype(jnp.float32)
             eg, its, _ = self._inner_solve(
                 r32, 1e-3, min(maxiter - total_its, 400), precond,
                 dispatch_chunk)
             total_its += int(its) + 1   # +1 for the outer f64 apply
-            x64 = x64 + eg.astype(jnp.float64)
-        return (x64[self.dof_to_grid].astype(bg.dtype), total_its,
-                np.sqrt(rho2))
+            with enable_x64():
+                e64 = eg.astype(jnp.float64)
+                x64 = e64 if x64 is None else x64 + e64
+        if x64 is None:
+            xf = jnp.zeros_like(bg)
+        else:
+            with enable_x64():
+                xf = x64[self.dof_to_grid].astype(jnp.float32)
+        return xf, total_its, np.sqrt(rho2)
 
     def _chunked_cg(self, first_fn, chunk_fn, statics, arrays, bg, rtol,
                     maxiter, dispatch_chunk):

@@ -100,6 +100,48 @@ def test_band_fold_apply_exact(n, deg):
     assert err < 1e-11, err
 
 
+def test_mixed_precision_refinement():
+    """f32 problems solve through iterative refinement (scoped-x64 true
+    residuals + short f32 corrections) and meet the tolerance in the
+    TRUE residual, not just the recurrence."""
+    mesh = cfx.mesh.create_box((-1, -1, -1), (1, 1, 1), (8, 8, 8))
+    Vphi = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(Vphi, name="phi")
+    phi.interpolate(lambda x: np.sqrt(x[0]**2 + x[1]**2 + x[2]**2) - 0.6)
+    cd = cfx.cut(phi)
+    inside = cfx.locate_entities(cd, "phi<0")
+    vol = cfx.runtime_quadrature(cd, "phi<0", 4)
+    srf = cfx.runtime_quadrature(cd, "phi=0", 4)
+    gp = cfx.ghost_penalty_facets(cd, "phi<0")
+    dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
+    dxg = Measure("dx", domain=mesh, subdomain_data=srf)
+    dSg = Measure("dS", domain=mesh, subdomain_data=gp)
+    V = cfx.functionspace(mesh, ("Lagrange", 2))
+    u, v = TrialFunction(V), TestFunction(V)
+    x = SpatialCoordinate(mesh)
+    ng = cfx.normal(phi)
+    nf = FacetNormal(mesh)
+    h = CellDiameter(mesh)
+    a = inner(grad(u), grad(v)) * dxo + (-dot(grad(u), ng) * v
+        - dot(grad(v), ng) * u + 40.0 / h * u * v) * dxg
+    a += 0.1 * avg(h) * inner(jump(grad(u), nf), jump(grad(v), nf)) * dSg
+    L = sin(pi * x[0]) * v * dxo
+    af = fem.form(a, dtype=np.float32)
+    Lf = fem.form(L, dtype=np.float32)
+    dom = fem.active_domain(af)
+    b = fem.assemble_vector(Lf)
+    assert np.asarray(b).dtype == np.float32
+    op = StencilCutOperator(af, dom)
+    xs, its, res = op.solve_cg(b, rtol=1e-6, maxiter=2000)
+    # verify the TRUE residual in f64
+    op64 = fem.CutOperator(fem.form(a), fem.active_domain(fem.form(a)))
+    bb = np.where(dom.active_mask, np.asarray(b, np.float64), 0.0)
+    r = np.asarray(op64(jnp.asarray(np.asarray(xs, np.float64)))) - bb
+    # f64 oracle operator differs from the f32 operator by rounding of
+    # the element matrices themselves (~1e-7 relative)
+    assert np.linalg.norm(r) <= 5e-6 * np.linalg.norm(bb)
+
+
 def test_chunked_dispatch_solve():
     """Splitting the solve into small restart chunks still converges to
     tolerance (the 10M-dof path runs this way to respect the remote
