@@ -484,8 +484,12 @@ class StencilCutOperator:
             prev_rho2 = rho2
             with enable_x64():
                 r32 = r64.astype(jnp.float32)
+            # the last outer step should target the global tolerance
+            # directly (padded), not over-solve a fixed 1e-3 below the
+            # current residual into the inner f32 floor
+            inner_rtol = max(1e-3, 0.5 * float(np.sqrt(tol2 / rho2)))
             eg, its, _ = self._inner_solve(
-                r32, 1e-3, min(maxiter - total_its, 400), precond,
+                r32, inner_rtol, min(maxiter - total_its, 400), precond,
                 dispatch_chunk)
             total_its += int(its) + 1   # +1 for the outer f64 apply
             with enable_x64():
@@ -564,6 +568,7 @@ class StencilCutOperator:
         statics = self._grid_statics()
         arrays = self._grid_arrays()
         x, rr_f = x0, np.inf
+        best = np.inf
         retried_from_zero = False
         while it < maxiter:
             x, rr, its_done = _grid_cg_jac_chunk(
@@ -582,6 +587,11 @@ class StencilCutOperator:
                 continue
             if rr_f <= tol2:
                 break
+            # f32 floor: a full-size chunk that fails to reduce the
+            # residual by 30% will not do better on the next restart
+            if int(its_done) >= 50 and rr_f > 0.7 * best:
+                break
+            best = min(best, rr_f)
         return x, it, rr_f
 
     # -- cube-block additive Schwarz preconditioner ---------------------------
