@@ -7,6 +7,19 @@ assembly as batched einsum kernels, matrix-free Krylov solvers, and
 device-mesh sharding with halo exchange for multi-chip runs.
 """
 
+import os as _os
+
+import jax as _jax
+
+# TPU einsum/matmul default precision multiplies in bf16 (f32 accumulate),
+# which degrades every operator apply and element kernel to ~1e-3 relative
+# accuracy — the CG recurrence then diverges from the true residual by
+# orders of magnitude within ~60 iterations (measured at bench sizes).
+# FEM operators are f32 contracts: force true-f32 matmuls library-wide.
+# Opt out with CUTFEMX_FAST_MATMUL=1 (e.g. for bf16-tolerant experiments).
+if not _os.environ.get("CUTFEMX_FAST_MATMUL"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import _hostmem  # noqa: F401  (glibc heap tuning; must run early)
 from . import la  # noqa: F401
 from . import mesh  # noqa: F401

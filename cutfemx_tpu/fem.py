@@ -1038,7 +1038,8 @@ def _matfree_apply(dim, mats, rows, cols, active, x):
     y = jnp.zeros(dim, x.dtype)
     for Ae, r, c in zip(mats, rows, cols):
         xe = xin[c]
-        ye = jnp.einsum("eij,ej->ei", Ae, xe)
+        ye = jnp.einsum("eij,ej->ei", Ae, xe,
+                        precision=jax.lax.Precision.HIGHEST)
         y = y.at[r.ravel()].add(ye.ravel())
     if active is not None:
         y = jnp.where(active, y, x)
@@ -1055,7 +1056,9 @@ def _matfree_apply_sorted(dim, mats, cols, perm, sorted_rows, active, x):
     parts = []
     for Ae, c in zip(mats, cols):
         xe = xin[c]
-        parts.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
+        parts.append(jnp.einsum(
+            "eij,ej->ei", Ae, xe,
+            precision=jax.lax.Precision.HIGHEST).ravel())
     flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     y = jax.ops.segment_sum(flat[perm], sorted_rows, num_segments=dim,
                             indices_are_sorted=True)

@@ -333,7 +333,8 @@ def _apply_body(op, instances, active, owned, send_l, send_r, gl_valid,
     y = jnp.zeros_like(x)
     for A, D in instances:
         Ae, dd = A[0], D[0]
-        ye = jnp.einsum("eij,ej->ei", Ae, xin[dd])
+        ye = jnp.einsum("eij,ej->ei", Ae, xin[dd],
+                        precision=jax.lax.Precision.HIGHEST)
         y = y.at[dd.ravel()].add(ye.ravel())
     y = _halo_sync(op, y, send_l[0], send_r[0], gl_valid[0], gr_valid[0])
     y = jnp.where(active[0], y, x)

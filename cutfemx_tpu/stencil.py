@@ -947,7 +947,8 @@ def _grid_apply_body(n, N, nch, table, gsize, A_local, cube_mask,
     for (ch, (dx, dy, dz)) in table:
         parts.append(X[ch, dx:dx + n, dy:dy + n, dz:dz + n])
     xc = jnp.stack(parts, axis=-1)                  # (n, n, n, L)
-    yc = jnp.einsum("xyzl,lm->xyzm", xc, A_local)
+    yc = jnp.einsum("xyzl,lm->xyzm", xc, A_local,
+                    precision=jax.lax.Precision.HIGHEST)
     yc = jnp.where(cube_mask[..., None], yc, 0.0)
     Y = jnp.zeros_like(X)
     for s, (ch, (dx, dy, dz)) in enumerate(table):
@@ -957,7 +958,9 @@ def _grid_apply_body(n, N, nch, table, gsize, A_local, cube_mask,
         parts2 = []
         for Ae, cg_ in zip(rest_mats, rest_cols):
             xe = Xin[cg_]
-            parts2.append(jnp.einsum("eij,ej->ei", Ae, xe).ravel())
+            parts2.append(jnp.einsum(
+                "eij,ej->ei", Ae, xe,
+                precision=jax.lax.Precision.HIGHEST).ravel())
         flat = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
         Yf = Yf + jax.ops.segment_sum(flat[permg], sortedg,
                                       num_segments=gsize,
@@ -1092,7 +1095,8 @@ def _grid_apply_fold_body(n, N, nch, table, gsize, bbox, A_local,
     parts = [X[ch, dx:dx + n, dy:dy + n, dz:dz + n]
              for (ch, (dx, dy, dz)) in table]
     xc = jnp.stack(parts, axis=-1)
-    yc = jnp.einsum("xyzl,lm->xyzm", xc, A_local)
+    yc = jnp.einsum("xyzl,lm->xyzm", xc, A_local,
+                    precision=jax.lax.Precision.HIGHEST)
     yc = jnp.where(cube_mask[..., None], yc, 0.0)
     Y = jnp.zeros_like(X)
     for s, (ch, (dx, dy, dz)) in enumerate(table):
