@@ -47,6 +47,9 @@ class IntegralInstance:
     data: dict = None             # batched kernel inputs (jnp pytree)
     rows_cells: np.ndarray = None  # cells whose dofs receive contributions
     # (E,) for cell/ext-facet instances, (E, 2) for interior facets
+    origin: tuple = None          # (integral idx, runtime, itype): aligns
+    # instances of structurally-equal forms built over different entity
+    # subsets (the sharded owner-computes pipeline, parallel/spipeline.py)
 
 
 class CutForm:
@@ -77,8 +80,11 @@ class CutForm:
         self.mesh = self._find_mesh()
         self.dtype = jnp.dtype(dtype) if dtype is not None else \
             jnp.zeros(0).dtype
-        self.instances = [inst for itg in self.integrals
-                          for inst in self._build_instances(itg)]
+        self.instances = []
+        for i, itg in enumerate(self.integrals):
+            for inst in self._build_instances(itg):
+                inst.origin = (i, inst.runtime, inst.itype)
+                self.instances.append(inst)
 
     # ------------------------------------------------------------------
 

@@ -84,24 +84,48 @@ class _NonNeighborGhosts(ValueError):
     pass
 
 
-def build_slab_partition(V, nparts) -> SlabPartition:
+def build_slab_partition(V, nparts, weights=None) -> SlabPartition:
     """Partition cells of V.mesh into geometric slabs with one-cell ghost
     layers and build the two-sided halo layout for V's blocked dofs.
 
+    ``weights`` (optional, per cell) balances slab boundaries by
+    cumulative weight instead of cell count — the owner-computes pipeline
+    passes activity weights so the cut band spreads across devices even
+    when the level set occupies a fraction of the domain (the reference
+    delegates the same problem to its mesh partitioner).
+
     If ``nparts`` slabs would be so thin that a ghost layer spans two
-    slabs (non-neighbor ghosts), the cells are spread over fewer
-    non-empty slabs instead — trailing devices own nothing but still
-    participate in the collective program."""
+    slabs (non-neighbor ghosts), weights are first blended toward
+    uniform (weaker balance beats losing devices), then the cells are
+    spread over fewer non-empty slabs — trailing devices own nothing but
+    still participate in the collective program."""
+    if weights is not None:
+        w = np.asarray(weights, float)
+        u = np.full_like(w, max(w.mean(), 1e-12))
+        candidates = [b * w + (1.0 - b) * u
+                      for b in (1.0, 0.75, 0.5, 0.25)] + [None]
+    else:
+        candidates = [None]
     last_err = None
     for m in range(nparts, 0, -1):
-        try:
-            return _build_slab_partition_m(V, nparts, m)
-        except _NonNeighborGhosts as e:
-            last_err = e
+        for wts in candidates:
+            try:
+                return _build_slab_partition_m(V, nparts, m, wts)
+            except _NonNeighborGhosts as e:
+                last_err = e
     raise last_err
 
 
-def _build_slab_partition_m(V, nparts, m) -> SlabPartition:
+def _split_cells(order, m, weights):
+    if weights is None:
+        return list(np.array_split(order, m))
+    w = np.asarray(weights, float)[order]
+    cw = np.cumsum(w)
+    bounds = np.searchsorted(cw, cw[-1] * np.arange(1, m) / m)
+    return list(np.split(order, bounds))
+
+
+def _build_slab_partition_m(V, nparts, m, weights=None) -> SlabPartition:
     mesh = V.mesh
     bd = V.blocked_dofmap
     ndofs = V.dim
@@ -110,7 +134,7 @@ def _build_slab_partition_m(V, nparts, m) -> SlabPartition:
     extent = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
     axis = int(np.argmax(extent))
     order = np.argsort(mids[:, axis], kind="stable")
-    parts_cells = list(np.array_split(order, m))
+    parts_cells = _split_cells(order, m, weights)
     parts_cells += [np.empty(0, np.int64)] * (nparts - m)
     cell_part = np.empty(mesh.num_cells, np.int32)
     for p, cs in enumerate(parts_cells[:m]):
@@ -196,7 +220,46 @@ class HaloOperator:
     Element batches are regrouped per slab (entities live on the slab of
     their first cell; the ghost layer guarantees all their dofs are
     local). One apply = local einsum + scatter + ghost->owner adds
-    (2 ppermutes) + owner->ghost refresh (2 ppermutes)."""
+    (2 ppermutes) + owner->ghost refresh (2 ppermutes).
+
+    Two construction paths:
+
+    - ``HaloOperator(form, domain, part, mesh)`` — ORACLE path: builds
+      the global element set serially, then regroups per slab. Used by
+      parity tests to cross-check the production path below.
+    - ``HaloOperator.from_device(part, mesh, d_instances, d_active)`` —
+      production path fed by the owner-computes sharded pipeline
+      (parallel/spipeline.py): element matrices arrive as device-sharded
+      arrays computed per slab; no global element array ever exists.
+    """
+
+    @classmethod
+    def from_device(cls, partition: SlabPartition, mesh: Mesh,
+                    d_instances, d_active, axis="cells"):
+        """Build from device-sharded per-slab element data.
+
+        d_instances: tuple of (A, D) jax Arrays sharded over ``axis``
+        with shapes (P, E, nd, nd) / (P, E, nd) (D holds LOCAL slots).
+        d_active: (P, local_size) bool Array sharded over ``axis``."""
+        self = cls.__new__(cls)
+        part = partition
+        self.part = part
+        self.mesh = mesh
+        self.axis = axis
+        self.instances = None   # no host copy on this path
+        self.owned_mask = np.zeros((part.nparts, part.local_size), bool)
+        for p in range(part.nparts):
+            self.owned_mask[p, :part.n_owned[p]] = True
+        sh = NamedSharding(mesh, P(axis))
+        put = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
+        self.d_instances = tuple(d_instances)
+        self.d_active = d_active
+        self.d_owned = put(self.owned_mask)
+        self.d_send_l = put(part.send_left_slots)
+        self.d_send_r = put(part.send_right_slots)
+        self.d_gl_valid = put(part.ghostl_valid)
+        self.d_gr_valid = put(part.ghostr_valid)
+        return self
 
     def __init__(self, form, domain, partition: SlabPartition, mesh: Mesh,
                  axis="cells"):
@@ -280,6 +343,10 @@ class HaloOperator:
         x, it, res = _halo_cg(self, bl, rtol, maxiter)
         return self.to_global(x), int(it), float(res)
 
+    def apply_global(self, x_global):
+        """A @ x for a replicated global vector (testing/oracle path)."""
+        return self.to_global(_halo_apply(self, self.to_local(x_global)))
+
 
 def _halo_sync(op, y, send_l, send_r, gl_valid, gr_valid):
     """Ghost->owner adds then owner->ghost refresh (2+2 ppermutes)."""
@@ -341,8 +408,8 @@ def _apply_body(op, instances, active, owned, send_l, send_r, gl_valid,
     return y[None]
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _halo_cg(op: HaloOperator, b, rtol, maxiter):
+def _make_apply(op):
+    """Sharded operator application (P, local) -> (P, local)."""
     mesh, axis = op.mesh, op.axis
     spec = P(axis)
 
@@ -363,6 +430,20 @@ def _halo_cg(op: HaloOperator, b, rtol, maxiter):
                                glv, grv, xx)
         return run(*flat, op.d_active, op.d_owned, op.d_send_l,
                    op.d_send_r, op.d_gl_valid, op.d_gr_valid, x)
+
+    return apply_sharded
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _halo_apply(op, x):
+    return _make_apply(op)(x)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _halo_cg(op: HaloOperator, b, rtol, maxiter):
+    mesh, axis = op.mesh, op.axis
+    spec = P(axis)
+    apply_sharded = _make_apply(op)
 
     def diag_sharded():
         flat = []
@@ -419,4 +500,7 @@ def _halo_cg(op: HaloOperator, b, rtol, maxiter):
 
     x, r, p_vec, rz, it = jax.lax.while_loop(
         cond, body, (x, r, p_vec, rz, 0))
-    return x, it, jnp.sqrt(rz)
+    # report the TRUE residual norm (rz is the preconditioned inner
+    # product r.M^-1 r, which can differ by orders of magnitude when the
+    # diagonal is far from 1); convergence already checks pdot(r, r)
+    return x, it, jnp.sqrt(pdot(r, r))

@@ -402,24 +402,28 @@ class StencilCutOperator:
         device dispatches: a single while_loop dispatch covering
         hundreds of iterations at 10M dofs exceeds the remote TPU
         runtime's per-dispatch limit."""
+        if precond not in ("asm", "asm-fold", "jacobi"):
+            raise ValueError(f"unknown precond {precond!r}")
         bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
             if self.active is not None else jnp.asarray(b)
         bg = self.vec_to_grid(bb)
-        if precond in ("asm", "asm-fold"):
-            if refine is True or (refine == "auto"
-                                  and bg.dtype == jnp.float32
-                                  and _f64_available()):
-                return self._solve_ir(bg, rtol, maxiter, precond,
-                                      dispatch_chunk)
-            xg, it, rr = self._inner_solve(bg, rtol, maxiter, precond,
-                                           dispatch_chunk)
-            return xg[self.dof_to_grid], it, np.sqrt(rr)
-        xg, it, res = _grid_cg(*self._grid_statics(),
-                               *self._grid_arrays(), bg, rtol, maxiter)
-        return xg[self.dof_to_grid], it, res
+        if refine is True or (refine == "auto"
+                              and bg.dtype == jnp.float32
+                              and _f64_available()):
+            return self._solve_ir(bg, rtol, maxiter, precond,
+                                  dispatch_chunk)
+        xg, it, rr = self._inner_solve(bg, rtol, maxiter, precond,
+                                       dispatch_chunk)
+        return xg[self.dof_to_grid], it, np.sqrt(rr)
 
     def _inner_solve(self, bg, rtol, maxiter, precond, dispatch_chunk):
         """Chunked f32 solve in grid layout -> (x_grid, its, rr)."""
+        if precond == "jacobi":
+            statics = self._grid_statics()
+            arrays = self._grid_arrays()
+            return self._chunked_cg(_grid_cg_jac_first, _grid_cg_jac_chunk,
+                                    statics, arrays, bg, rtol, maxiter,
+                                    dispatch_chunk)
         if precond == "asm":
             self._ensure_cube_asm()
             statics = (*self._grid_statics(), self._asm_bbox)
@@ -462,10 +466,14 @@ class StencilCutOperator:
             bb2 = float(jnp.vdot(bg64, bg64).real)
         tol2 = rtol * rtol * bb2
         x64 = None
+        best_x64, best_rho2 = None, bb2   # x = 0 has residual ||b||^2
         total_its = 0
         prev_rho2 = np.inf
         rho2 = bb2
-        for outer in range(10):
+        # every trip through the loop top MEASURES the current iterate
+        # (one f64 apply), so the returned residual is never stale; the
+        # extra 11th trip exists only to measure the 10th correction
+        for outer in range(11):
             if outer == 0:
                 r64 = bg64
                 rho2 = bb2
@@ -475,11 +483,13 @@ class StencilCutOperator:
                                                  *self._grid_arrays(),
                                                  x64)
                     rho2 = float(jnp.vdot(r64, r64).real)
+                if np.isfinite(rho2) and rho2 < best_rho2:
+                    best_x64, best_rho2 = x64, rho2
             if _CG_DEBUG:
                 print(f"[ir] outer {outer}: true rr={rho2:.4e} "
                       f"tol2={tol2:.4e}", flush=True)
-            if rho2 <= tol2 or total_its >= maxiter or \
-                    not np.isfinite(rho2) or rho2 >= 0.25 * prev_rho2:
+            if best_rho2 <= tol2 or total_its >= maxiter or outer == 10 \
+                    or not np.isfinite(rho2) or rho2 >= 0.25 * prev_rho2:
                 break
             prev_rho2 = rho2
             with enable_x64():
@@ -495,12 +505,12 @@ class StencilCutOperator:
             with enable_x64():
                 e64 = eg.astype(jnp.float64)
                 x64 = e64 if x64 is None else x64 + e64
-        if x64 is None:
-            xf = jnp.zeros_like(bg)
+        if best_x64 is None:
+            xf = jnp.zeros_like(bg[self.dof_to_grid])
         else:
             with enable_x64():
-                xf = x64[self.dof_to_grid].astype(jnp.float32)
-        return xf, total_its, np.sqrt(rho2)
+                xf = best_x64[self.dof_to_grid].astype(jnp.float32)
+        return xf, total_its, np.sqrt(best_rho2)
 
     def _chunked_cg(self, first_fn, chunk_fn, statics, arrays, bg, rtol,
                     maxiter, dispatch_chunk):
@@ -1184,7 +1194,9 @@ def _cg_first(op, M, bg, rtol, it_cap):
     is an RPC round trip on the remote chip). Returns (state, rr, tol2)."""
     from .la import cg_init, cg_resume
     state, bb = cg_init(op, bg, M=M)
-    tol2 = (rtol * rtol) * bb
+    # clamp: for tiny-magnitude rhs at tight rtol the f32 product can
+    # underflow to 0, which would make the solve grind to maxiter
+    tol2 = jnp.maximum((rtol * rtol) * bb, jnp.finfo(bg.dtype).tiny)
     state = cg_resume(op, state, M, tol2, it_cap)
     return state, jnp.vdot(state[1], state[1]).real, tol2
 
@@ -1211,6 +1223,22 @@ def _grid_cg_jac_chunk(n, N, nch, table, gsize, A_local, cube_mask,
     dg = jnp.where(jnp.abs(dg) > 1e-30, dg, 1.0)  # 0/0 -> NaN guard
     return _cg_restart(lambda Xf: _grid_apply_body(*args, Xf),
                        lambda r: r / dg, bg, x0, tol2, it_cap)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _grid_cg_jac_first(n, N, nch, table, gsize, A_local, cube_mask,
+                       active_grid, identity_grid, rest_mats, rest_rows,
+                       rest_cols, permg, sortedg, bg, rtol, it_cap):
+    """First chunk with the Jacobi preconditioner (so 'jacobi' rides the
+    same chunked-dispatch + iterative-refinement machinery as the ASM
+    paths instead of silently skipping refine=True)."""
+    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+            identity_grid, rest_mats, rest_rows, rest_cols, permg,
+            sortedg)
+    dg = _grid_diag_body(*args)
+    dg = jnp.where(jnp.abs(dg) > 1e-30, dg, 1.0)
+    return _cg_first(lambda Xf: _grid_apply_body(*args, Xf),
+                     lambda r: r / dg, bg, rtol, it_cap)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
