@@ -412,6 +412,14 @@ class StencilCutOperator:
                               and _f64_available()):
             return self._solve_ir(bg, rtol, maxiter, precond,
                                   dispatch_chunk)
+        if precond == "jacobi":
+            # single-dispatch Jacobi PCG: trajectory-compatible with
+            # CutOperator.solve_cg (like-preconditioned comparisons stay
+            # valid along near-null sliver modes — see CLAUDE.md)
+            xg, it, res = _grid_cg(*self._grid_statics(),
+                                   *self._grid_arrays(), bg, rtol,
+                                   maxiter)
+            return xg[self.dof_to_grid], it, res
         xg, it, rr = self._inner_solve(bg, rtol, maxiter, precond,
                                        dispatch_chunk)
         return xg[self.dof_to_grid], it, np.sqrt(rr)
