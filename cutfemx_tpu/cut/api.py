@@ -118,6 +118,17 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
         # Saye dimension-reduction quadrature; quad/hex hosts only (the
         # reference's Algoim host-cell validation, cut.cpp:194-237)
         from .saye import saye_interface_rules, saye_volume_rules
+        if cut_data.hosted_dim == mesh.tdim - 1:
+            # facet-hosted algoim: interval/embedded-quad interface rules
+            # with polynomial-exact 2D crossings
+            # (test_cut_api.py:1370,1399)
+            from .quadrature import facet_interface_rules
+            if op == "=":
+                return facet_interface_rules(mesh, phi, cut_entities,
+                                             order, polish=True)
+            side = "<" if op in ("<", "<=") else ">"
+            return facet_volume_rules(mesh, phi, cut_entities, order,
+                                      side=side)
         if cut_data.hosted_dim != mesh.tdim:
             raise NotImplementedError(
                 "algoim backends support cell-hosted rules only")

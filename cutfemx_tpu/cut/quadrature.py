@@ -352,13 +352,19 @@ def _push_normal(cell_type, coords, pts, nref):
     return n / jnp.where(norm > 0, norm, 1.0)
 
 
-def facet_interface_rules(mesh, phi, facets, order):
+def facet_interface_rules(mesh, phi, facets, order, polish=False):
     """Codim-2 rules: {phi = 0} restricted to the given facets (the
     skeleton rules of the surface-DG demo,
     /root/reference/python/demo/demo_surface_poisson_dg.py:185-188).
     In 3D each cut facet yields segments; in 2D a single crossing point.
     Points in the first adjacent cell's reference coords; weights
-    physical."""
+    physical.
+
+    ``polish`` Newton-polishes 2D crossing points on the TRUE level-set
+    basis along the facet (the role of the reference's Algoim polynomial
+    root finding for higher-degree level sets,
+    test_cut_api.py:1370-1394: the crossing of a P2 level set must land
+    at the exact root, not the P1-interpolated one)."""
     cell = mesh.ref_cell
     tdim = cell.tdim
     k = tdim - 1          # facet dimension; interface parts have dim k-1
@@ -390,6 +396,19 @@ def facet_interface_rules(mesh, phi, facets, order):
         tab = el.tabulate(verts)
         phis = jnp.einsum("cpn,cn->cp", tab, dofs)
         X, valid = _march_parts(phis, verts, k, SURF)
+        if polish and k == 1 and X.shape[1] and X.shape[2] == 1:
+            # Newton on g(t) = phi(p + t*d) along the facet direction
+            d = verts[:, 1, :] - verts[:, 0, :]            # (C, tdim)
+            p = X[:, :, 0, :]                              # (C, M, tdim)
+            M = p.shape[1]
+            for _ in range(8):
+                g = jnp.einsum("cpn,cn->cp", el.tabulate(p), dofs)
+                gr = el.tabulate_grad(p)                   # (C, M, nd, t)
+                dg = jnp.einsum("cpnt,cn,ct->cp", gr, dofs, d)
+                safe = jnp.where(jnp.abs(dg) > 1e-300, dg, 1.0)
+                p = p - (g / safe)[..., None] * d[:, None, :]
+            ok = jnp.isfinite(p).all(-1) & valid
+            X = jnp.where(ok[:, :, None, None], p[:, :, None, :], X)
         pts, T = _map_rule(X, rule_pts)
         if T.shape[-1] == 0:
             # 2D: point "rules" — physical weight 1 at the crossing
