@@ -233,8 +233,15 @@ def _sign_local_normal_band(mesh, d, closest, nrm, frozen):
 
 
 def _sign_winding_number(mesh, soup):
-    """Generalized winding number, brute batched sum (winding.h:85-330;
-    the Barnes-Hut octree becomes a dense MXU-friendly reduction)."""
+    """Generalized winding number (winding.h:85-330). Large soups route
+    through the clustered Barnes-Hut scheme (distance/winding.py:
+    Morton-clustered dipole far field + exact near field, O(V*C)
+    instead of O(V*T)); small soups use the brute batched sum."""
+    if soup.tri.shape[0] > 4096:
+        from .winding import build_winding_clusters, winding_numbers
+        cl = build_winding_clusters(soup)
+        w = winding_numbers(mesh.vertices, cl)
+        return np.where(w > 0.5, -1.0, 1.0)
     P = jnp.asarray(_pad3(mesh.vertices))            # (NV, 3)
     T = jnp.asarray(soup.triangle_coords())          # (NT, 3, 3)
 
