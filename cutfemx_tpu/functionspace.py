@@ -67,10 +67,11 @@ class FunctionSpace:
                 n_face_int = (p - 1) ** 2
         else:
             n_face_int = 0
-        if n_face_int > 1:
-            raise NotImplementedError(
-                "face orientation permutations needed for this degree; "
-                "supported: P<=3 on tets, P<=2 on hexes")
+        # n_face_int > 1 needs face-orientation permutations so the two
+        # cells sharing a face agree on the ordering of its interior
+        # dofs (the role of Basix/DOLFINx dof permutations; the reference
+        # inherits this from DOLFINx, SURVEY.md L1). Implemented below in
+        # _face_orientation_slots/_face_orientation_ids for any degree.
 
         offset = 0
         # vertex dofs
@@ -110,8 +111,18 @@ class FunctionSpace:
                     dofmap[:, d] = edge_off + ge * n_edge_int + kk
             elif edim == tdim - 1 and tdim == 3:
                 gf = mesh.cell_facets[:, eidx]
-                for k, d in enumerate(dofs):
-                    dofmap[:, d] = face_off + gf * n_face_int + k
+                if n_face_int <= 1:
+                    for k, d in enumerate(dofs):
+                        dofmap[:, d] = face_off + gf * n_face_int + k
+                else:
+                    fverts = np.asarray(cell.facets[eidx])
+                    slots = _face_orientation_slots(
+                        cell, el, eidx, dofs, p)      # (nd, n_orient)
+                    orient = _face_orientation_ids(
+                        mesh.cells[:, fverts])        # (NC,)
+                    for j, d in enumerate(dofs):
+                        dofmap[:, d] = (face_off + gf * n_face_int
+                                        + slots[j][orient])
             elif edim == tdim:
                 for k, d in enumerate(dofs):
                     dofmap[:, d] = cell_off + \
@@ -228,6 +239,86 @@ class FunctionSpace:
 
     def tabulate_dof_coordinates(self):
         return self.dof_coordinates
+
+
+def _face_orientation_slots(cell, el, eidx, dofs, p):
+    """Canonical face-slot table for the interior dofs of local face
+    ``eidx``: ``slots[j, orient]`` is the within-face global slot of
+    local dof ``dofs[j]`` when the cell sees the face in orientation
+    ``orient``. The canonical frame is defined purely by the face's
+    GLOBAL vertex ids (triangle: ascending-id barycentric order; quad:
+    origin at the min-id corner, first axis toward its smaller-id
+    neighbor), so the two cells sharing a face always agree.
+
+    Replaces the DOLFINx/Basix dof-permutation machinery the reference
+    inherits (SURVEY.md L1; reference caps nothing — Basix tabulates any
+    degree)."""
+    import itertools
+
+    fverts = np.asarray(cell.facets[eidx])
+    pts = np.asarray(el.dof_points)[np.asarray(dofs)]
+    nd = len(dofs)
+    if len(fverts) == 3:                       # triangle face (tet)
+        va, vb, vc = cell.vertices[fverts]
+        M = np.stack([vb - va, vc - va], axis=-1)       # (3, 2)
+        lam, *_ = np.linalg.lstsq(M, (pts - va).T, rcond=None)
+        iB = np.rint(lam[0] * p).astype(int)
+        iC = np.rint(lam[1] * p).astype(int)
+        iA = p - iB - iC
+        interior = [(a, b, p - a - b)
+                    for a in range(1, p) for b in range(1, p - a)]
+        lut = {m: k for k, m in enumerate(interior)}
+        perms = list(itertools.permutations(range(3)))
+        slots = np.empty((nd, len(perms)), np.int64)
+        for pid, sg in enumerate(perms):
+            for j in range(nd):
+                multi = (iA[j], iB[j], iC[j])
+                m = (multi[sg[0]], multi[sg[1]], multi[sg[2]])
+                slots[j, pid] = lut[m]
+        return slots
+    # quadrilateral face (hex), tensor vertex order [A, A+u, A+v, A+u+v]
+    va = cell.vertices[fverts[0]]
+    u = cell.vertices[fverts[1]] - va
+    v = cell.vertices[fverts[2]] - va
+    M = np.stack([u, v], axis=-1)
+    ab, *_ = np.linalg.lstsq(M, (pts - va).T, rcond=None)
+    a = np.rint(ab[0] * p).astype(int)
+    b = np.rint(ab[1] * p).astype(int)
+    # 8 orientations: (origin corner, axis choice); see
+    # _face_orientation_ids for the matching id computation
+    q = p
+    xf = [lambda a, b: (a, b),           lambda a, b: (b, a),
+          lambda a, b: (q - a, b),       lambda a, b: (b, q - a),
+          lambda a, b: (q - b, a),       lambda a, b: (a, q - b),
+          lambda a, b: (q - b, q - a),   lambda a, b: (q - a, q - b)]
+    slots = np.empty((nd, 8), np.int64)
+    for w in range(8):
+        aa, bb = xf[w](a, b)
+        slots[:, w] = (aa - 1) * (p - 1) + (bb - 1)
+    return slots
+
+
+def _face_orientation_ids(gv):
+    """Orientation id of each cell's view of a face, from the face's
+    global vertex ids ``gv`` (NC, 3) or (NC, 4).
+
+    Triangle: index into itertools.permutations(range(3)) of the argsort
+    of (gA, gB, gC). Quad (tensor order A,B,C,D): id = 2*argmin_corner + s,
+    where s selects the axis toward the min corner's smaller-id neighbor."""
+    gv = np.asarray(gv)
+    if gv.shape[1] == 3:
+        import itertools
+        sg = np.argsort(gv, axis=1)                       # (NC, 3)
+        code = sg[:, 0] * 9 + sg[:, 1] * 3 + sg[:, 2]
+        lut = np.full(27, -1, np.int64)
+        for pid, perm in enumerate(itertools.permutations(range(3))):
+            lut[perm[0] * 9 + perm[1] * 3 + perm[2]] = pid
+        return lut[code]
+    o = np.argmin(gv, axis=1)                             # (NC,)
+    nbr = np.array([[1, 2], [0, 3], [0, 3], [1, 2]])      # quad adjacency
+    n0 = gv[np.arange(len(gv)), nbr[o, 0]]
+    n1 = gv[np.arange(len(gv)), nbr[o, 1]]
+    return o * 2 + (n0 > n1).astype(np.int64)
 
 
 def functionspace(mesh: Mesh, family_degree, shape=()):
