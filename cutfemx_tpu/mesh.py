@@ -52,9 +52,14 @@ class Mesh:
         # of magnitude slower); dedup via a scalar code (pairs) or lexsort.
         # int32 everywhere it fits: cumsum/astype on int64 are memory-bound
         # and measurably slow on this host.
-        if nvs == 2:
-            code = sub[:, 0].astype(np.int64) * self.num_vertices
-            code += sub[:, 1]
+        nv = int(self.num_vertices)
+        if nvs == 2 or (nvs == 3 and nv ** 3 < (1 << 62)):
+            # scalar-code dedup: one int64 sort instead of a multi-column
+            # lexsort (each lexsort pass re-streams the key array)
+            code = sub[:, 0].astype(np.int64)
+            for j in range(1, nvs):
+                code *= nv
+                code += sub[:, j]
             order = np.argsort(code, kind="stable")
             cs = code[order]
             first = np.empty(len(cs), dtype=bool)
@@ -142,12 +147,14 @@ class Mesh:
             return
         facets, cell_facets = self._build_subentities(self.ref_cell.facets)
         nf = facets.shape[0]
-        fc = np.full((nf, 2), -1, np.int64)
-        fl = np.full((nf, 2), -1, np.int64)
+        fc = np.full((nf, 2), -1, np.int32)
+        fl = np.full((nf, 2), -1, np.int32)
         nfpc = cell_facets.shape[1]
-        cells_rep = np.repeat(np.arange(self.num_cells), nfpc)
+        cells_rep = np.repeat(np.arange(self.num_cells, dtype=np.int32),
+                              nfpc)
         fids = cell_facets.ravel()
-        locals_rep = np.tile(np.arange(nfpc), self.num_cells)
+        locals_rep = np.tile(np.arange(nfpc, dtype=np.int32),
+                             self.num_cells)
         # sort by (facet, cell) so the lower cell lands in slot 0
         order = np.lexsort((cells_rep, fids))
         fids_s, cells_s, locals_s = fids[order], cells_rep[order], \
@@ -157,10 +164,8 @@ class Mesh:
         slot = np.where(first, 0, 1)
         fc[fids_s, slot] = cells_s
         fl[fids_s, slot] = locals_s
-        self._cache.update(facets=facets,
-                           cell_facets=cell_facets.astype(np.int32),
-                           facet_cells=fc.astype(np.int32),
-                           facet_local_index=fl.astype(np.int32))
+        self._cache.update(facets=facets, cell_facets=cell_facets,
+                           facet_cells=fc, facet_local_index=fl)
 
     @property
     def exterior_facets(self):

@@ -402,7 +402,8 @@ class StencilCutOperator:
         device dispatches: a single while_loop dispatch covering
         hundreds of iterations at 10M dofs exceeds the remote TPU
         runtime's per-dispatch limit."""
-        if precond not in ("asm", "asm-fold", "jacobi"):
+        if precond not in ("asm", "asm-fold", "jacobi", "asm2",
+                           "asm-fold2", "pallas"):
             raise ValueError(f"unknown precond {precond!r}")
         bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
             if self.active is not None else jnp.asarray(b)
@@ -439,6 +440,51 @@ class StencilCutOperator:
             return self._chunked_cg(_grid_cg_asm_first, _grid_cg_asm_chunk,
                                     statics, arrays, bg, rtol, maxiter,
                                     dispatch_chunk)
+        if precond == "asm2":
+            self._ensure_cube_asm()
+            self._ensure_coarse()
+            statics = (*self._grid_statics(), self._asm_bbox, self._c_sel)
+            arrays = (*self._grid_arrays(), self._asm_binv, *self._c_W,
+                      self._c_acinv)
+            return self._chunked_cg(_grid_cg_asm2_first,
+                                    _grid_cg_asm2_chunk, statics, arrays,
+                                    bg, rtol, maxiter, dispatch_chunk)
+        if precond == "pallas":
+            from .pallas_stencil import _AStatic, pad_mask_for_stencil
+            self._ensure_cube_asm()
+            self._ensure_band_fold()
+            self._ensure_coarse()
+            pT = 16
+            if getattr(self, "_pallas_Mp", None) is None:
+                self._pallas_Mp = pad_mask_for_stencil(self.cube_mask,
+                                                       self.n, T=pT)
+                self._pallas_A = _AStatic(np.asarray(self.A_local))
+            interp = jax.default_backend() == "cpu" or \
+                _os.environ.get("CUTFEMX_PALLAS_INTERPRET") == "1"
+            statics = (*self._grid_statics(), self._asm_bbox,
+                       self._bf_bbox, self._c_sel, pT, self._pallas_A,
+                       interp)
+            arrays = (self.active_grid, self.identity_grid,
+                      self._bf_diag, self._bf_fwd, self._bf_rev,
+                      self._asm_binv, *self._c_W, self._c_acinv,
+                      self._pallas_Mp)
+            return self._chunked_cg(_grid_cg_pallas_first,
+                                    _grid_cg_pallas_chunk, statics,
+                                    arrays, bg, rtol, maxiter,
+                                    dispatch_chunk)
+        if precond == "asm-fold2":
+            self._ensure_cube_asm()
+            self._ensure_band_fold()
+            self._ensure_coarse()
+            statics = (*self._grid_statics(), self._asm_bbox,
+                       self._bf_bbox, self._c_sel)
+            arrays = (self.A_local, self.cube_mask_j, self.active_grid,
+                      self.identity_grid, self._bf_diag, self._bf_fwd,
+                      self._bf_rev, self._asm_binv, *self._c_W,
+                      self._c_acinv)
+            return self._chunked_cg(_grid_cg_fold2_first,
+                                    _grid_cg_fold2_chunk, statics, arrays,
+                                    bg, rtol, maxiter, dispatch_chunk)
         self._ensure_cube_asm()
         self._ensure_band_fold()
         statics = (*self._grid_statics(), self._asm_bbox, self._bf_bbox)
@@ -765,9 +811,22 @@ class StencilCutOperator:
             return ((cflat // (n * n) - x0) * nby
                     + (cflat // n) % n - y0) * nbz + cflat % n - z0
 
+        # Symmetric operators (every bilinear form on the bench path:
+        # grad-grad, Nitsche, ghost penalty) satisfy Rev[d] = Fwd[d]^T
+        # exactly: pass-2 claiming is provably transpose-symmetric for
+        # symmetric element matrices (an unclaimed cross entry's dofs
+        # share no cube, so a fwd claim and its transposed rev claim
+        # never collide). Skip building + storing the rev tensors: the
+        # apply reads Fwd twice instead — 2.71 GB -> 1.55 GB of fold
+        # state at n=108 and half the fold-build work.
+        symmetric = all(
+            float(jnp.max(jnp.abs(Ae - jnp.swapaxes(Ae, -1, -2))))
+            <= 1e-6 * (float(jnp.max(jnp.abs(Ae))) + 1e-30)
+            for Ae in self.rest_mats)
+
         CHK = 1 << 16
         tensors = []
-        for k in range(7):
+        for k in range(4 if symmetric else 7):
             dense = jnp.zeros((nbb, L, L), dtype)
             # group per instance: one chunked fold instead of one device
             # dispatch per (instance, offset) — RPC latency dominates
@@ -798,7 +857,7 @@ class StencilCutOperator:
             tensors.append(dense.reshape(nbx, nby, nbz, L, L))
         self._bf_diag = tensors[0]
         self._bf_fwd = tuple(tensors[1:4])
-        self._bf_rev = tuple(tensors[4:7])
+        self._bf_rev = None if symmetric else tuple(tensors[4:7])
         self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
 
     def _build_cube_asm(self):
@@ -953,6 +1012,243 @@ class StencilCutOperator:
         self._asm_binv = dense.reshape(nbx, nby, nbz, L, L)
         self._asm_bbox = (x0, y0, z0, nbx, nby, nbz)
 
+    # -- two-level coarse space ----------------------------------------------
+
+    def _ensure_coarse(self):
+        if getattr(self, "_c_acinv", None) is None:
+            self._build_coarse()
+
+    def _channel_sub(self):
+        """(nch, 3) dof sub-position inside its cube per channel, in
+        half-lattice units (0 -> on the lattice plane, 1 -> mid-cell)."""
+        sub = np.zeros((self.nch, 3), np.int64)
+        for delta, ch in _EDGE_CLASS.items():
+            if ch < self.nch:
+                sub[ch] = delta
+        return sub
+
+    def _coarse_1d(self, m):
+        """1-D coarse lattice tables for spacing m (last cell clamped).
+
+        Returns (K, Ws, PJ, PW): K = #coarse vertices per axis, Ws = two
+        dense (N, K) interpolation matrices for sub-offsets {0, 0.5},
+        PJ/PW = per-point-coordinate coarse cell index and hat weights
+        (PJ (N, 2) int, PW (N, 2, 2)) indexed by [point, sub-offset]."""
+        n, N = self.n, self.N
+        nc = -(-n // m)
+        K = nc + 1
+        p = np.minimum(np.arange(K) * m, n).astype(np.float64)
+
+        def wt(t):
+            j = np.minimum(np.searchsorted(p, t, "right") - 1, nc - 1)
+            w1 = (t - p[j]) / (p[j + 1] - p[j])
+            return j.astype(np.int64), 1.0 - w1, w1
+
+        dt = self.A_local.dtype
+        Ws = []
+        PJ = np.zeros((N, 2), np.int64)
+        PW = np.zeros((N, 2, 2))
+        for s2 in (0, 1):
+            t = np.minimum(np.arange(N) + 0.5 * s2, float(n))
+            j, w0, w1 = wt(t)
+            W = np.zeros((N, K))
+            W[np.arange(N), j] = w0
+            W[np.arange(N), j + 1] = w1
+            Ws.append(jnp.asarray(W, dt))
+            PJ[:, s2] = j
+            PW[:, s2, 0] = w0
+            PW[:, s2, 1] = w1
+        return K, tuple(Ws), PJ, PW
+
+    def _coarse_galerkin(self, m):
+        """Exact Galerkin coarse operator A_c = P~^T A P~ on the coarse
+        trilinear lattice space, where P~ = diag(active) P and P is
+        per-channel trilinear interpolation from coarse vertices to fine
+        dof positions. Assembled by congruence folds — A_local over every
+        full cube plus every element-path matrix — scattered into a dense
+        (K^3, K^3) matrix; no operator applies needed.
+
+        Role: the coarse level the reference reaches for via PETSc AMG
+        (demo_poisson.py:52-58 gamg); here the structured lattice makes
+        the coarse space geometric and the fold exact."""
+        n, N, nch = self.n, self.N, self.nch
+        table = self.table
+        L = len(table)
+        dt = self.A_local.dtype
+        hp = jax.lax.Precision.HIGHEST
+        K, Ws, PJ, PW = self._coarse_1d(m)
+        Vc = K ** 3
+        sub = self._channel_sub()
+        abc = np.stack(np.meshgrid(np.arange(3), np.arange(3),
+                                   np.arange(3), indexing="ij"),
+                       -1).reshape(27, 3)
+
+        def window_u(coords, s2):
+            """coords, s2: (B, nd) point coords + sub-offsets -> window
+            base (B, 3) and per-axis hat weights in the 3-wide coarse
+            window (list of 3 (B, nd, 3) arrays). Requires the per-item
+            coarse-cell span <= 1, which holds for m >= 2 (any cube's or
+            element's dofs span <= 2 lattice units)."""
+            us, c0s = [], []
+            B, nd = coords[0].shape
+            bi = np.arange(B)[:, None]
+            di = np.arange(nd)[None, :]
+            for a in range(3):
+                ja = PJ[coords[a], s2[a]]
+                wa = PW[coords[a], s2[a]]
+                c0 = ja.min(1)
+                pos = ja - c0[:, None]
+                if pos.size and pos.max() > 1:
+                    raise ValueError("coarse spacing must be >= 2")
+                ua = np.zeros((B, nd, 3))
+                ua[bi, di, pos] = wa[..., 0]
+                ua[bi, di, pos + 1] = wa[..., 1]
+                us.append(ua)
+                c0s.append(c0)
+            return np.stack(c0s, 1), us
+
+        def fold(Ae, u_r, u_c, base, Aflat):
+            """Aflat += scatter(P_r^T Ae P_c) over the 27-vertex windows."""
+            P3r = (u_r[0][:, :, :, None, None]
+                   * u_r[1][:, :, None, :, None]
+                   * u_r[2][:, :, None, None, :]).reshape(
+                       u_r[0].shape[0], -1, 27)
+            P3c = P3r if u_c is u_r else (
+                u_c[0][:, :, :, None, None]
+                * u_c[1][:, :, None, :, None]
+                * u_c[2][:, :, None, None, :]).reshape(
+                    u_c[0].shape[0], -1, 27)
+            P3r = jnp.asarray(P3r, dt)
+            P3c = P3r if u_c is u_r else jnp.asarray(P3c, dt)
+            T = jnp.einsum("elm,elp->emp", Ae, P3r, precision=hp)
+            G = jnp.einsum("emp,emq->epq", T, P3c, precision=hp)
+            idx = (((base[:, 0:1] + abc[None, :, 0]) * K
+                    + base[:, 1:2] + abc[None, :, 1]) * K
+                   + base[:, 2:3] + abc[None, :, 2]).astype(np.int64)
+            pair = jnp.asarray(idx[:, :, None] * Vc + idx[:, None, :])
+            return Aflat.at[pair.reshape(-1)].add(G.reshape(-1))
+
+        Aflat = jnp.zeros(Vc * Vc, dt)
+
+        # -- full-cube interior fold
+        offs = np.array([off for _, off in table])
+        chs = np.array([ch for ch, _ in table])
+        s2_slot = sub[chs]                                     # (L, 3)
+        full = np.flatnonzero(np.asarray(self.cube_mask).reshape(-1))
+        CH = 1 << 16
+        for st in range(0, len(full), CH):
+            cub = full[st:st + CH]
+            cpos = np.stack([cub // (n * n), (cub // n) % n, cub % n], 1)
+            coords = tuple(cpos[:, a][:, None] + offs[None, :, a]
+                           for a in range(3))
+            base, u = window_u(coords, tuple(s2_slot[None, :, a]
+                                             for a in range(3)))
+            ncub = len(cub)
+            Ael = jnp.broadcast_to(jnp.asarray(self.A_local, dt),
+                                   (ncub, L, L))
+            Aflat = fold(Ael, u, u, base, Aflat)
+
+        # -- element-path fold (cut cells, Nitsche, ghost penalty,
+        # leftover simplices); inactive dof rows/cols are zeroed so the
+        # product matches P~^T A P~ on the active block
+        act = np.asarray(self.active_grid)
+        ECH = 1 << 15
+        for Ae, rg, cg in zip(self.rest_mats, self.rest_rows_grid,
+                              self.rest_cols_grid):
+            g_r = np.asarray(rg)
+            g_c = np.asarray(cg)
+            for st in range(0, len(g_r), ECH):
+                gr = g_r[st:st + ECH]
+                gc = g_c[st:st + ECH]
+                ch_r, pxr, pyr, pzr = self._instance_positions(gr)
+                ch_c, pxc, pyc, pzc = self._instance_positions(gc)
+                # common window over rows + cols
+                allpx = np.concatenate([pxr, pxc], 1)
+                allpy = np.concatenate([pyr, pyc], 1)
+                allpz = np.concatenate([pzr, pzc], 1)
+                alls2 = np.concatenate([sub[ch_r], sub[ch_c]], 1)
+                base, u_all = window_u(
+                    (allpx, allpy, allpz),
+                    tuple(alls2[..., a] for a in range(3)))
+                ndr = gr.shape[1]
+                u_r = [ua[:, :ndr] * act[gr][..., None] for ua in u_all]
+                u_c = [ua[:, ndr:] * act[gc][..., None] for ua in u_all]
+                Aflat = fold(jnp.asarray(Ae)[st:st + ECH], u_r, u_c,
+                             base, Aflat)
+        return Aflat.reshape(Vc, Vc), K, Ws
+
+    def _build_coarse(self, m=None):
+        """Build the additive coarse-level correction P A_c^{-1} P^T used
+        by the 'asm2'/'asm-fold2' preconditioners. The cube-ASM blocks
+        bound the high-frequency error; this bounds the global low-
+        frequency error, flattening CG iteration growth in n (single-level
+        ASM: 102 -> 161 iterations from n=48 -> 108)."""
+        n = self.n
+        if m is None:
+            m = 2
+            while (-(-n // m) + 1) ** 3 > 10000:
+                m += 1
+        A_c, K, Ws = self._coarse_galerkin(m)
+        self._c_m = m
+        self._c_K = K
+        self._c_W = Ws
+        sub = self._channel_sub()
+        self._c_sel = tuple(tuple(int(v) for v in sub[ch])
+                            for ch in range(self.nch))
+        self._c_acinv = _dense_spd_inverse(A_c)
+
+
+@jax.jit
+def _dense_spd_inverse(A, ridge=1e-5):
+    """Dense SPD inverse, robust at f32: symmetrize, unit-diagonal
+    equilibration, relative ridge, invert, re-symmetrize. Dead rows
+    (zero diagonal: coarse vertices with no active support) produce
+    zero inverse rows, so they contribute nothing to the correction."""
+    sym = 0.5 * (A + A.T)
+    d = jnp.diagonal(sym)
+    dead = d <= 1e-12 * jnp.maximum(jnp.max(d), 1e-30)
+    s = jnp.where(dead, 0.0, 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30)))
+    eq = sym * s[:, None] * s[None, :]
+    eq = eq + ridge * jnp.eye(A.shape[0], dtype=A.dtype)
+    inv = jnp.linalg.inv(eq)
+    inv = 0.5 * (inv + inv.T)
+    return inv * s[:, None] * s[None, :]
+
+
+def _coarse_apply_body(N, nch, chsel, W0, Wh, Acinv, active_grid, rf):
+    """Coarse correction P A_c^{-1} P^T r in flat grid layout. P is
+    separable trilinear interpolation per channel (two 1-D matrices,
+    sub-offset 0 / 0.5), so restriction and prolongation are six small
+    tensordots per channel — MXU work, zero gathers."""
+    hp = jax.lax.Precision.HIGHEST
+    K = W0.shape[1]
+    Ws = (W0, Wh)
+    R = jnp.where(active_grid, rf, 0.0).reshape(nch, N, N, N)
+    rc = jnp.zeros((K, K, K), rf.dtype)
+    for ch in range(nch):
+        sx, sy, sz = chsel[ch]
+        t = jnp.tensordot(R[ch], Ws[sz], axes=((2,), (0,)),
+                          precision=hp)                    # (x, y, Kz)
+        t = jnp.tensordot(t, Ws[sy], axes=((1,), (0,)),
+                          precision=hp)                    # (x, Kz, Ky)
+        t = jnp.tensordot(t, Ws[sx], axes=((0,), (0,)),
+                          precision=hp)                    # (Kz, Ky, Kx)
+        rc = rc + t.transpose(2, 1, 0)
+    zc = jnp.matmul(Acinv, rc.reshape(-1), precision=hp)
+    Zc = zc.reshape(K, K, K)
+    Z = []
+    for ch in range(nch):
+        sx, sy, sz = chsel[ch]
+        t = jnp.tensordot(Ws[sx], Zc, axes=((1,), (0,)),
+                          precision=hp)                    # (x, Ky, Kz)
+        t = jnp.tensordot(Ws[sy], t, axes=((1,), (1,)),
+                          precision=hp)                    # (y, x, Kz)
+        t = jnp.tensordot(Ws[sz], t, axes=((1,), (2,)),
+                          precision=hp)                    # (z, y, x)
+        Z.append(t.transpose(2, 1, 0))
+    z = jnp.stack(Z).reshape(-1)
+    return jnp.where(active_grid, z, 0.0)
+
 
 def _grid_apply_body(n, N, nch, table, gsize, A_local, cube_mask,
                      active_grid, identity_grid, rest_mats, rest_rows,
@@ -1096,9 +1392,11 @@ def _band_rest_apply(n, N, nch, table, bbox, Dg, Fwd, Rev, Xin):
         Y = Y + scatter_bbox(jnp.einsum(
             "xyzl,xyzlm->xyzm", rc_d, jnp.swapaxes(Fwd[d], -1, -2),
             precision=hi))
-        # rev blocks: rows at c+e_d, columns at c -> scatter then roll
-        yrev = jnp.einsum("xyzl,xyzlm->xyzm", rc,
-                          jnp.swapaxes(Rev[d], -1, -2), precision=hi)
+        # rev blocks: rows at c+e_d, columns at c -> scatter then roll.
+        # Rev is None for symmetric operators (Rev[d] == Fwd[d]^T, see
+        # _build_band_fold) — contract against Fwd un-transposed instead
+        Rd = Fwd[d] if Rev is None else jnp.swapaxes(Rev[d], -1, -2)
+        yrev = jnp.einsum("xyzl,xyzlm->xyzm", rc, Rd, precision=hi)
         Y = Y + jnp.roll(scatter_bbox(yrev), 1, axis=ax)
     return Y.reshape(-1)
 
@@ -1280,6 +1578,97 @@ def _grid_cg_fold_first(*a):
 def _grid_cg_fold_chunk(*a):
     """Restart chunk for the folded apply (see _chunked_cg)."""
     op, M = _fold_ops(*a[:-4])
+    return _cg_restart(op, M, *a[-4:])
+
+
+def _gather_asm2_ops(n, N, nch, table, gsize, bbox_asm, chsel, A_local,
+                     cube_mask, active_grid, identity_grid, rest_mats,
+                     rest_rows, rest_cols, permg, sortedg, Binv, W0, Wh,
+                     Acinv):
+    args = (n, N, nch, table, gsize, A_local, cube_mask, active_grid,
+            identity_grid, rest_mats, rest_rows, rest_cols, permg,
+            sortedg)
+
+    def M(r):
+        z = _asm_apply_body(n, N, nch, table, bbox_asm, Binv,
+                            active_grid, r)
+        return z + _coarse_apply_body(N, nch, chsel, W0, Wh, Acinv,
+                                      active_grid, r)
+    return (lambda Xf: _grid_apply_body(*args, Xf), M)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _grid_cg_asm2_first(*a):
+    op, M = _gather_asm2_ops(*a[:-3])
+    return _cg_first(op, M, *a[-3:])
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _grid_cg_asm2_chunk(*a):
+    op, M = _gather_asm2_ops(*a[:-4])
+    return _cg_restart(op, M, *a[-4:])
+
+
+def _fold2_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf, chsel,
+               A_local, cube_mask, active_grid, identity_grid, Dg, Fwd,
+               Rev, Binv, W0, Wh, Acinv):
+    args = (n, N, nch, table, gsize, bbox_bf, A_local, cube_mask,
+            active_grid, identity_grid, Dg, Fwd, Rev)
+
+    def M(r):
+        z = _asm_apply_body(n, N, nch, table, bbox_asm, Binv,
+                            active_grid, r)
+        return z + _coarse_apply_body(N, nch, chsel, W0, Wh, Acinv,
+                                      active_grid, r)
+    return (lambda Xf: _grid_apply_fold_body(*args, Xf), M)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _grid_cg_fold2_first(*a):
+    op, M = _fold2_ops(*a[:-3])
+    return _cg_first(op, M, *a[-3:])
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _grid_cg_fold2_chunk(*a):
+    op, M = _fold2_ops(*a[:-4])
+    return _cg_restart(op, M, *a[-4:])
+
+
+def _pallas_ops(n, N, nch, table, gsize, bbox_asm, bbox_bf, chsel, pT,
+                Astat, interp, active_grid, identity_grid, Dg, Fwd, Rev,
+                Binv, W0, Wh, Acinv, Mp):
+    """Full production stack: Pallas fused interior stencil + folded
+    element band for the apply; cube-ASM + coarse level for the
+    preconditioner."""
+    from .pallas_stencil import interior_stencil_apply
+
+    def apply(Xf):
+        Xin = jnp.where(active_grid, Xf, 0.0)
+        Yf = interior_stencil_apply(n, N, nch, table, Astat.a, Mp, Xin,
+                                    T=pT, interpret=interp)
+        Yf = Yf + _band_rest_apply(n, N, nch, table, bbox_bf, Dg, Fwd,
+                                   Rev, Xin)
+        Yf = jnp.where(active_grid, Yf, 0.0)
+        return Yf + jnp.where(identity_grid, Xf, 0.0)
+
+    def M(r):
+        z = _asm_apply_body(n, N, nch, table, bbox_asm, Binv,
+                            active_grid, r)
+        return z + _coarse_apply_body(N, nch, chsel, W0, Wh, Acinv,
+                                      active_grid, r)
+    return apply, M
+
+
+@partial(jax.jit, static_argnums=tuple(range(11)))
+def _grid_cg_pallas_first(*a):
+    op, M = _pallas_ops(*a[:-3])
+    return _cg_first(op, M, *a[-3:])
+
+
+@partial(jax.jit, static_argnums=tuple(range(11)))
+def _grid_cg_pallas_chunk(*a):
+    op, M = _pallas_ops(*a[:-4])
     return _cg_restart(op, M, *a[-4:])
 
 
