@@ -20,6 +20,13 @@ import jax as _jax
 if not _os.environ.get("CUTFEMX_FAST_MATMUL"):
     _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Backend pin: on hosts whose default backend is an out-of-tree plugin
+# (e.g. the axon TPU tunnel), plain JAX_PLATFORMS=cpu is ignored — only
+# the config update works. CUTFEMX_PLATFORM=cpu forces the CPU backend
+# for demos/tools without editing them.
+if _os.environ.get("CUTFEMX_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["CUTFEMX_PLATFORM"])
+
 from . import _hostmem  # noqa: F401  (glibc heap tuning; must run early)
 from . import la  # noqa: F401
 from . import mesh  # noqa: F401

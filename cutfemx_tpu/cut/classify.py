@@ -46,9 +46,15 @@ def _local_facet_closure_dofs(element, cell):
 def entity_closure_dofs(space, dim, entities):
     """Global dofs on the closure of each entity: (n, ndofs_entity) int32.
 
-    Supports cells (dim == tdim) and facets (dim == tdim-1)."""
+    Supports cells (dim == tdim), facets (dim == tdim-1), and vertices
+    (dim == 0, continuous spaces: vertex dofs are numbered first, so the
+    scalar dof of vertex v is v — functionspace._build_dofmap)."""
     mesh = space.mesh
     entities = np.asarray(entities, dtype=np.int32)
+    if dim == 0:
+        if getattr(space, "family", "Lagrange") == "DG":
+            raise NotImplementedError("vertex dofs of a DG space")
+        return entities.reshape(-1, 1)
     if dim == mesh.tdim:
         return space.dofmap[entities]
     if dim == mesh.tdim - 1:

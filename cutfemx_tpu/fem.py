@@ -20,8 +20,67 @@ import jax.numpy as jnp
 
 from .forms.compile import compile_integral
 from .forms.dsl import extract_arguments
-from .forms.measure import FormExpr, split_subdomain_data
+from .forms.measure import (FormExpr, Integral, Measure,
+                            split_subdomain_data)
 from .la import MatrixCSR
+
+
+def _vertex_rules(mesh, verts):
+    """One-point physical-weight runtime rules hosting each vertex in an
+    adjacent cell: integral = sum of integrand values at the vertices
+    (the reference's IntegralType::vertex role, Form.h:34-41)."""
+    from .cells import reference_cell
+    from .cut.quadrature import RuntimeQuadratureRules
+    verts = np.asarray(verts, np.int64)
+    cells = np.asarray(mesh.cells)
+    nc, nv = cells.shape
+    # first adjacent cell of every mesh vertex
+    flat = cells.ravel()
+    order = np.argsort(flat, kind="stable")
+    uniq, first = np.unique(flat[order], return_index=True)
+    host_of = np.full(mesh.num_vertices, -1, np.int64)
+    host_of[uniq] = order[first] // nv
+    host = host_of[verts]
+    if np.any(host < 0):
+        raise ValueError("vertex without an adjacent cell")
+    local = np.argmax(cells[host] == verts[:, None], axis=1)
+    ref = reference_cell(mesh.cell_type).vertices  # (nv, tdim)
+    pts = ref[local][:, None, :]                   # (n, 1, tdim)
+    wts = np.ones((len(verts), 1))
+    return RuntimeQuadratureRules(mesh.tdim, host, pts, wts, mesh=mesh)
+
+
+def _ridge_rules(mesh, edges, degree=2):
+    """Arc-length Gauss rules along mesh edges, hosted in an adjacent
+    cell's reference coords (IntegralType::ridge, codim-2 in 3D)."""
+    from .cells import reference_cell
+    from .cut.quadrature import RuntimeQuadratureRules
+    from .quadrature import gauss_legendre
+    edges = np.asarray(edges, np.int64)
+    ce = np.asarray(mesh.cell_edges)               # (NC, ne_local)
+    nc, ne = ce.shape
+    flat = ce.ravel()
+    order = np.argsort(flat, kind="stable")
+    uniq, first = np.unique(flat[order], return_index=True)
+    host_of = np.full(mesh.num_edges, -1, np.int64)
+    host_of[uniq] = order[first] // ne
+    host = host_of[edges]
+    if np.any(host < 0):
+        raise ValueError("edge without an adjacent cell")
+    local = np.argmax(ce[host] == edges[:, None], axis=1)
+    cell = reference_cell(mesh.cell_type)
+    refv = cell.vertices
+    eview = np.asarray(cell.edges)                 # (ne_local, 2)
+    la_, lb = eview[local, 0], eview[local, 1]
+    A, B = refv[la_], refv[lb]
+    t, w = gauss_legendre(max(1, (degree + 2) // 2))  # already on [0,1]
+    pts = A[:, None, :] + t[None, :, None] * (B - A)[:, None, :]
+    # physical edge lengths (affine P1 geometry)
+    ev = np.asarray(mesh.edges)[edges]             # (n, 2) vertex ids
+    xy = np.asarray(mesh.vertices)
+    length = np.linalg.norm(xy[ev[:, 1]] - xy[ev[:, 0]], axis=1)
+    wts = length[:, None] * w[None, :]
+    return RuntimeQuadratureRules(mesh.tdim, host, pts, wts, mesh=mesh)
 
 __all__ = [
     "CutForm", "form", "cut_form", "extract_blocks", "assemble_scalar",
@@ -148,6 +207,29 @@ class CutForm:
                 if ents is not None and len(ents):
                     out.append(self._exterior_facet_instance(itg, ents))
                 out.append(self._runtime_facet_instance(itg, rules))
+        elif itype in ("vertex", "ridge"):
+            # the reference's two extra custom-data integral types
+            # (Form.h:34-41). Lowered onto the runtime cell path: a
+            # vertex integral is a one-point physical-weight rule hosted
+            # in an adjacent cell (sum of point values); a ridge
+            # (codim-2) integral is a 1D Gauss rule along each edge
+            # pulled back to host-cell reference coords with arc-length
+            # weights. In 2D, ridge entities coincide with vertices.
+            if rules is not None:
+                raise ValueError(f"{itype} integrals take entity arrays, "
+                                 "not runtime rules")
+            if ents is None or not len(ents):
+                raise ValueError(f"{itype} integrals require an entity "
+                                 "array in subdomain_data")
+            if itype == "vertex" or mesh.tdim == 2:
+                vr = _vertex_rules(mesh, ents)
+            else:
+                deg = itg.measure.metadata.get("quadrature_degree", 2)
+                vr = _ridge_rules(mesh, ents, deg)
+            cell_itg = Integral(itg.integrand,
+                                Measure("dx", domain=itg.measure.domain,
+                                        metadata=itg.measure.metadata))
+            out.append(self._runtime_cell_instance(cell_itg, vr))
         else:  # interior facet
             if rules is not None:
                 if ents is not None and len(ents):

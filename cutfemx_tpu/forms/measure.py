@@ -14,9 +14,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Measure", "Integral", "FormExpr", "dx", "ds", "dS"]
+__all__ = ["Measure", "Integral", "FormExpr", "dx", "ds", "dS", "dP",
+           "dr"]
 
-_VALID = {"dx": "cell", "ds": "exterior_facet", "dS": "interior_facet"}
+# dP (vertex) and dr (ridge, codim-2) mirror the two extra integral
+# types of the reference's custom-data Form
+# (/root/reference/cpp/dolfinx_custom_data/fem/Form.h:34-41); they lower
+# onto the runtime-quadrature cell path (fem.py _build_instances).
+_VALID = {"dx": "cell", "ds": "exterior_facet", "dS": "interior_facet",
+          "dP": "vertex", "dr": "ridge"}
 
 
 class Measure:
@@ -50,6 +56,8 @@ class Measure:
 dx = Measure("dx")
 ds = Measure("ds")
 dS = Measure("dS")
+dP = Measure("dP")
+dr = Measure("dr")
 
 
 class Integral:
