@@ -691,9 +691,135 @@ class StencilCutOperator:
 
     def _ensure_band_fold(self):
         if getattr(self, "_bf_diag", None) is None:
-            self._build_band_fold()
+            if _os.environ.get("CUTFEMX_FOLD_CLAIM") == "sweep":
+                self._build_band_fold_sweep()
+            else:
+                self._build_band_fold_direct()
 
-    def _build_band_fold(self):
+    def _build_band_fold_direct(self):
+        """Device-side band fold: same block decomposition as
+        _build_band_fold_sweep, but the entry->block assignment is a
+        CLOSED FORM evaluated on the TPU instead of a 64-offset claiming
+        sweep on the host (which cost ~5 s per pipeline pass at n=48 on
+        this 1-CPU microVM; this path is one dispatch per instance).
+
+        For entry (i, j) with per-axis dof grid positions p_i, p_j:
+        - |p_i - p_j| <= 1 on every axis -> diagonal block of cube
+          c_a = max(max(p_i_a, p_j_a) - 1, 0) (both dofs are slots of c,
+          since c_a <= min and c_a + 1 >= max);
+        - exactly one axis d with |delta| = 2 -> the (c, c+e_d) pair
+          block with c_d = min(p_i_d, p_j_d): fwd when the column dof is
+          the upper one, rev otherwise. For symmetric element matrices
+          the rev claim is exactly the transposed fwd claim, so the
+          symmetric shortcut (store fwd only, apply reads it twice)
+          remains valid;
+        - anything else is unassignable (raises, as the sweep does).
+
+        The assignment differs from the sweep's first-cube priority entry
+        by entry, but every entry lands in exactly one valid block, so
+        the folded operator is identical up to fp summation order."""
+        import time as _time
+        _dbg = _os.environ.get("CUTFEMX_DEBUG_BUILD")
+        _t0 = _time.perf_counter()
+        n, N, nch = self.n, self.N, self.nch
+        table = self.table
+        L = len(table)
+        dtype = self.A_local.dtype
+        lut = self._slot_lut()
+        # per-channel per-axis offset availability; the closed form needs
+        # each channel's slot offsets to be a product set O_x x O_y x O_z
+        # (true for lattice dof layouts: each channel class has fixed
+        # half-offset axes) — verify, else use the sweep
+        h0 = np.zeros((nch, 3), np.int32)
+        h1 = np.zeros((nch, 3), np.int32)
+        for chn, (dx, dy, dz) in table:
+            for a, o in enumerate((dx, dy, dz)):
+                (h0 if o == 0 else h1)[chn, a] = 1
+        for chn in range(nch):
+            have = {(dx, dy, dz) for c2, (dx, dy, dz) in table
+                    if c2 == chn}
+            axes = [[o for o in (0, 1) if (h0, h1)[o][chn, a]]
+                    for a in range(3)]
+            prod = {(ox, oy, oz) for ox in axes[0] for oy in axes[1]
+                    for oz in axes[2]}
+            if have and have != prod:
+                self._build_band_fold_sweep()
+                return
+        h01 = jnp.asarray(np.stack([h0, h1]))
+        # flat lut for device indexing; -1 slots only reachable from
+        # zero-padded elements, route them to slot 0 with zero value
+        lutf = jnp.asarray(np.maximum(lut.reshape(-1), 0).astype(np.int32))
+
+        # covering bbox from per-instance position ranges (host, cheap)
+        x0 = y0 = z0 = None
+        x1 = y1 = z1 = 0
+        for rg in self.rest_rows_grid:
+            ch, px, py, pz = self._instance_positions(np.asarray(rg))
+            lo = (int(px.min()), int(py.min()), int(pz.min()))
+            hi = (int(px.max()), int(py.max()), int(pz.max()))
+            if x0 is None:
+                x0, y0, z0 = (max(lo[a] - 1, 0) for a in range(3))
+            else:
+                x0 = min(x0, max(lo[0] - 1, 0))
+                y0 = min(y0, max(lo[1] - 1, 0))
+                z0 = min(z0, max(lo[2] - 1, 0))
+            x1 = max(x1, min(hi[0], n - 1))
+            y1 = max(y1, min(hi[1], n - 1))
+            z1 = max(z1, min(hi[2], n - 1))
+        if x0 is None:
+            x0 = y0 = z0 = 0
+        # round dims up (shape-stable across small cut movements)
+        def _dim(a0, a1):
+            return min(-(-(a1 + 1 - a0) // 4) * 4, n - a0)
+        nbx, nby, nbz = _dim(x0, x1), _dim(y0, y1), _dim(z0, z1)
+
+        symmetric = all(
+            float(jnp.max(jnp.abs(Ae - jnp.swapaxes(Ae, -1, -2))))
+            <= 1e-6 * (float(jnp.max(jnp.abs(Ae))) + 1e-30)
+            for Ae in self.rest_mats)
+        nkinds = 4 if symmetric else 7
+        if nkinds * nbx * nby * nbz * L * L >= 2 ** 31:
+            # flat scatter index would overflow int32 (x64 is off in
+            # production); the host sweep has no such limit
+            self._build_band_fold_sweep()
+            return
+
+        dense = None
+        nbad = 0
+        for rg, Ae in zip(self.rest_rows_grid, self.rest_mats):
+            E, nd = np.asarray(rg).shape
+            if E == 0:
+                continue
+            pad = _fold_bucket(E, lo=4096) - E
+            rg_p = np.concatenate(
+                [np.asarray(rg, np.int64)] +
+                ([np.repeat(np.asarray(rg[:1], np.int64), pad, 0)]
+                 if pad else []))
+            Ae_p = jnp.concatenate(
+                [Ae, jnp.zeros((pad, nd, nd), Ae.dtype)]) if pad else Ae
+            out, bad = _fold_direct_device(
+                n, N, L, nbx, nby, nbz, nkinds,
+                lutf, h01, jnp.asarray(np.array([x0, y0, z0], np.int32)),
+                jnp.asarray(rg_p.astype(np.int32)), Ae_p)
+            nbad += int(bad)
+            dense = out if dense is None else dense + out
+        if nbad:
+            raise RuntimeError(
+                "band fold: element entries not assignable to cube/"
+                "pair blocks (unexpected mesh numbering)")
+        if dense is None:
+            dense = jnp.zeros((nkinds, nbx, nby, nbz, L, L), dtype)
+        self._bf_diag = dense[0]
+        self._bf_fwd = tuple(dense[1 + d] for d in range(3))
+        self._bf_rev = (None if symmetric
+                        else tuple(dense[4 + d] for d in range(3)))
+        self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
+        if _dbg:
+            jax.block_until_ready(self._bf_diag)
+            print(f"[fold-direct] total {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+
+    def _build_band_fold_sweep(self):
         """Re-express the whole element path (cut cells, Nitsche surface,
         ghost-penalty facets, leftover simplices) as dense cube-block
         tensors so the operator apply has ZERO gathers:
@@ -708,6 +834,9 @@ class StencilCutOperator:
         covered-cube bounding box, same economics as the interior stencil
         (the gathered element path costs ~25 ns per gathered dof per CG
         iteration; this replaces it with dense HBM streams)."""
+        import time as _time
+        _dbg = _os.environ.get("CUTFEMX_DEBUG_BUILD")
+        _t0 = _time.perf_counter()
         n, N, nch = self.n, self.N, self.nch
         table = self.table
         L = len(table)
@@ -811,6 +940,11 @@ class StencilCutOperator:
             return ((cflat // (n * n) - x0) * nby
                     + (cflat // n) % n - y0) * nbz + cflat % n - z0
 
+        if _dbg:
+            print(f"[fold] claim {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
+
         # Symmetric operators (every bilinear form on the bench path:
         # grad-grad, Nitsche, ghost penalty) satisfy Rev[d] = Fwd[d]^T
         # exactly: pass-2 claiming is provably transpose-symmetric for
@@ -823,6 +957,10 @@ class StencilCutOperator:
             float(jnp.max(jnp.abs(Ae - jnp.swapaxes(Ae, -1, -2))))
             <= 1e-6 * (float(jnp.max(jnp.abs(Ae))) + 1e-30)
             for Ae in self.rest_mats)
+        if _dbg:
+            print(f"[fold] symcheck {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
 
         CHK = 1 << 16
         tensors = []
@@ -859,6 +997,10 @@ class StencilCutOperator:
         self._bf_fwd = tuple(tensors[1:4])
         self._bf_rev = None if symmetric else tuple(tensors[4:7])
         self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
+        if _dbg:
+            jax.block_until_ready(self._bf_diag)
+            print(f"[fold] device folds {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
 
     def _build_cube_asm(self):
         """Overlapping additive Schwarz with one block per lattice cube
@@ -1071,6 +1213,9 @@ class StencilCutOperator:
         Role: the coarse level the reference reaches for via PETSc AMG
         (demo_poisson.py:52-58 gamg); here the structured lattice makes
         the coarse space geometric and the fold exact."""
+        import time as _time
+        _dbg = _os.environ.get("CUTFEMX_DEBUG_BUILD")
+        _t0 = _time.perf_counter()
         n, N, nch = self.n, self.N, self.nch
         table = self.table
         L = len(table)
@@ -1148,6 +1293,12 @@ class StencilCutOperator:
                                    (ncub, L, L))
             Aflat = fold(Ael, u, u, base, Aflat)
 
+        if _dbg:
+            jax.block_until_ready(Aflat)
+            print(f"[coarse] cube fold {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
+
         # -- element-path fold (cut cells, Nitsche, ghost penalty,
         # leftover simplices); inactive dof rows/cols are zeroed so the
         # product matches P~^T A P~ on the active block
@@ -1175,6 +1326,101 @@ class StencilCutOperator:
                 u_c = [ua[:, ndr:] * act[gc][..., None] for ua in u_all]
                 Aflat = fold(jnp.asarray(Ae)[st:st + ECH], u_r, u_c,
                              base, Aflat)
+        if _dbg:
+            jax.block_until_ready(Aflat)
+            print(f"[coarse] element fold {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+        return Aflat.reshape(Vc, Vc), K, Ws
+
+    def _coarse_galerkin_fold(self, m):
+        """_coarse_galerkin assembled device-side from the band-fold
+        block tensors + the interior stencil. Identical result up to fp
+        summation order: the fold reproduces the element path exactly,
+        and active-masking commutes through the block decomposition
+        (P~^T A_rest P~ = sum_c (act W_c)^T D_c (act W_c) + pair terms).
+        Replaces the host window_u/fold loops that cost ~4.4 s per
+        pipeline pass at n=48 on this 1-CPU microVM."""
+        import time as _time
+        _dbg = _os.environ.get("CUTFEMX_DEBUG_BUILD")
+        _t0 = _time.perf_counter()
+        n, N = self.n, self.N
+        table = tuple((int(ch), (int(o[0]), int(o[1]), int(o[2])))
+                      for ch, o in self.table)
+        L = len(table)
+        dt = self.A_local.dtype
+        K, Ws, PJ, PW = self._coarse_1d(m)
+        # per-(cube, offset, sub) 1-D hat weights in the 3-wide coarse
+        # window based at cube//m
+        tab = np.zeros((n, 2, 2, 3), np.float64)
+        c = np.arange(n)
+        base = c // m
+        for d in (0, 1):
+            for s in (0, 1):
+                j = np.asarray(PJ[c + d, s])          # coarse cell index
+                w = np.asarray(PW[c + d, s])          # (n, 2): j, j+1
+                k2 = np.stack([j - base, j + 1 - base], 1)
+                if k2.min() < 0 or k2.max() > 2:
+                    raise AssertionError("coarse window wider than 3")
+                for t in range(2):
+                    tab[c, d, s, k2[:, t]] += w[:, t]
+        tabd = jnp.asarray(tab, dt)
+        sub = tuple(tuple(int(v) for v in row)
+                    for row in self._channel_sub())
+        Vc = K ** 3
+        Aflat = jnp.zeros(Vc * Vc, dt)
+        actf = self.active_grid
+
+        CH = 1 << 18
+        full = np.flatnonzero(
+            np.asarray(self.cube_mask).reshape(-1)).astype(np.int32)
+        for st in range(0, len(full), CH):
+            cub = full[st:st + CH]
+            pad = _fold_bucket(len(cub), lo=4096) - len(cub)
+            Aflat = _coarse_fold_shared(
+                n, N, K, m, table, sub, Aflat, tabd, actf,
+                jnp.asarray(_padz(cub, pad, np.int32)),
+                jnp.asarray(_padz(np.ones(len(cub), np.float32), pad,
+                                  np.float32)),
+                self.A_local)
+
+        x0, y0, z0, nbx, nby, nbz = self._bf_bbox
+        ii, jj, kk = np.meshgrid(np.arange(nbx), np.arange(nby),
+                                 np.arange(nbz), indexing="ij")
+        bb = (((x0 + ii) * n + y0 + jj) * n + z0 + kk).reshape(-1) \
+            .astype(np.int32)
+        nbb = len(bb)
+        for st in range(0, nbb, CH):
+            cub = bb[st:st + CH]
+            pad = _fold_bucket(len(cub), lo=4096) - len(cub)
+            cubd = jnp.asarray(_padz(cub, pad, np.int32))
+            sl_ = slice(st, st + CH)
+            Md = self._bf_diag.reshape(nbb, L, L)[sl_]
+            if pad:
+                Md = jnp.concatenate(
+                    [Md, jnp.zeros((pad, L, L), Md.dtype)])
+            Aflat = _coarse_fold_diag(n, N, K, m, table, sub, Aflat,
+                                      tabd, actf, cubd, Md)
+            sym = self._bf_rev is None
+            for d in range(3):
+                F = self._bf_fwd[d].reshape(nbb, L, L)[sl_]
+                if pad:
+                    F = jnp.concatenate(
+                        [F, jnp.zeros((pad, L, L), F.dtype)])
+                Aflat = _coarse_fold_pair(n, N, K, m, table, sub, d,
+                                          False, sym, Aflat, tabd, actf,
+                                          cubd, F)
+                if not sym:
+                    G = self._bf_rev[d].reshape(nbb, L, L)[sl_]
+                    if pad:
+                        G = jnp.concatenate(
+                            [G, jnp.zeros((pad, L, L), G.dtype)])
+                    Aflat = _coarse_fold_pair(n, N, K, m, table, sub, d,
+                                              True, False, Aflat, tabd,
+                                              actf, cubd, G)
+        if _dbg:
+            jax.block_until_ready(Aflat)
+            print(f"[coarse-fold] total {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
         return Aflat.reshape(Vc, Vc), K, Ws
 
     def _build_coarse(self, m=None):
@@ -1188,7 +1434,11 @@ class StencilCutOperator:
             m = 2
             while (-(-n // m) + 1) ** 3 > 10000:
                 m += 1
-        A_c, K, Ws = self._coarse_galerkin(m)
+        if getattr(self, "_bf_diag", None) is not None and \
+                _os.environ.get("CUTFEMX_COARSE") != "windows":
+            A_c, K, Ws = self._coarse_galerkin_fold(m)
+        else:
+            A_c, K, Ws = self._coarse_galerkin(m)
         self._c_m = m
         self._c_K = K
         self._c_W = Ws
@@ -1345,6 +1595,178 @@ def _fold_pairs_device(Ae, elem, slots, L):
     S = (slots[:, :, None] == jnp.arange(L)[None, None, :]).astype(A.dtype)
     return jnp.einsum("pia,pij,pjb->pab", S, A, S,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes, masked,
+                    shift=None):
+    """Per-cube trilinear coarse windows: (C, L, 27) weights W and
+    (C, 27) absolute coarse-vertex indices I for the given flat cube ids
+    (shift: column side of a +e_axis pair block; lattice-edge neighbors
+    clamp — their blocks are zero). masked multiplies slot rows by the
+    active mask (P~ = diag(active) P on the element path)."""
+    chs = np.array([ch for ch, _ in table])
+    offs = np.array([off for _, off in table])
+    subs = np.array(sub)[chs]
+    cx = cubes // (n * n)
+    cy = (cubes // n) % n
+    cz = cubes % n
+    if shift is not None:
+        e = [int(shift == a) for a in range(3)]
+        cx = jnp.minimum(cx + e[0], n - 1)
+        cy = jnp.minimum(cy + e[1], n - 1)
+        cz = jnp.minimum(cz + e[2], n - 1)
+    TX = tabd[cx[:, None], offs[None, :, 0], subs[None, :, 0], :]
+    TY = tabd[cy[:, None], offs[None, :, 1], subs[None, :, 1], :]
+    TZ = tabd[cz[:, None], offs[None, :, 2], subs[None, :, 2], :]
+    W = (TX[:, :, :, None, None] * TY[:, :, None, :, None]
+         * TZ[:, :, None, None, :]).reshape(cubes.shape[0], len(table), 27)
+    if masked:
+        pos = (((chs[None, :] * N + cx[:, None] + offs[None, :, 0]) * N
+                + cy[:, None] + offs[None, :, 1]) * N
+               + cz[:, None] + offs[None, :, 2])
+        W = W * jnp.where(actf[pos], W.dtype.type(1), W.dtype.type(0)
+                          )[:, :, None]
+    k3 = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
+                              indexing="ij"), -1).reshape(27, 3)
+    I = (((cx // m)[:, None] + k3[None, :, 0]) * K
+         + (cy // m)[:, None] + k3[None, :, 1]) * K \
+        + (cz // m)[:, None] + k3[None, :, 2]
+    return W, I
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6,))
+def _coarse_fold_shared(n, N, K, m, table, sub, Aflat, tabd, actf, cubes,
+                        valid, Aloc):
+    """Aflat += scatter(W_c^T A_local W_c) over full interior cubes
+    (unmasked windows, matching _coarse_galerkin's cube fold). valid
+    zeroes bucket-padding cubes — A_local is shared, so padded rows
+    would otherwise scatter real blocks."""
+    hp = jax.lax.Precision.HIGHEST
+    W, I = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
+                           False)
+    W = W * valid[:, None, None]
+    T = jnp.einsum("clk,lm->cmk", W, Aloc, precision=hp)
+    G = jnp.einsum("cmk,cmq->ckq", T, W, precision=hp)
+    idx = I[:, :, None] * (K * K * K) + I[:, None, :]
+    return Aflat.at[idx.reshape(-1)].add(G.reshape(-1))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6,))
+def _coarse_fold_diag(n, N, K, m, table, sub, Aflat, tabd, actf, cubes,
+                      M):
+    """Aflat += scatter(W_c^T D_c W_c) over band cubes, active-masked."""
+    hp = jax.lax.Precision.HIGHEST
+    W, I = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
+                           True)
+    T = jnp.einsum("clk,clm->cmk", W, M, precision=hp)
+    G = jnp.einsum("cmk,cmq->ckq", T, W, precision=hp)
+    idx = I[:, :, None] * (K * K * K) + I[:, None, :]
+    return Aflat.at[idx.reshape(-1)].add(G.reshape(-1))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
+         donate_argnums=(9,))
+def _coarse_fold_pair(n, N, K, m, table, sub, axis, rev, sym, Aflat,
+                      tabd, actf, cubes, F):
+    """Aflat += scatter of a pair-block congruence: fwd blocks couple
+    rows at cube c with columns at c+e_axis (rev: the transpose layout);
+    sym also adds the transposed coupling (Rev = Fwd^T shortcut)."""
+    hp = jax.lax.Precision.HIGHEST
+    Wr, Ir = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
+                             True, shift=axis if rev else None)
+    Wc, Ic = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
+                             True, shift=None if rev else axis)
+    T = jnp.einsum("clk,clm->cmk", Wr, F, precision=hp)
+    G = jnp.einsum("cmk,cmq->ckq", T, Wc, precision=hp)
+    Vc = K * K * K
+    idx = Ir[:, :, None] * Vc + Ic[:, None, :]
+    Aflat = Aflat.at[idx.reshape(-1)].add(G.reshape(-1))
+    if sym:
+        idxT = Ic[:, :, None] * Vc + Ir[:, None, :]
+        Aflat = Aflat.at[idxT.reshape(-1)].add(
+            jnp.swapaxes(G, 1, 2).reshape(-1))
+    return Aflat
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, lutf, h01, org,
+                        rg, Ae):
+    """Closed-form band fold, fully on device (see
+    _build_band_fold_direct): every element-matrix entry (e, i, j) gets a
+    (kind, cube, slot_row, slot_col) in vectorized int arithmetic and is
+    scatter-added into the dense block tensors in ONE pass.
+
+    A dof's valid cubes per axis form the contiguous range
+    [p - has1, p - 1 + has0] clamped to [0, n-1], where has0/has1 say
+    whether the dof's channel appears in the slot table with offset 0/1
+    on that axis (edge/face channels only have one). For an entry:
+    ranges intersect on every axis -> diagonal block of the upper-end
+    cube; ranges disjoint on exactly one axis with a one-cube step ->
+    the (c, c+e_d) pair block (fwd when the column dof is the upper
+    one); anything else is unassignable.
+
+    rg: (E, nd) int32 flat grid ids (rows == cols of the instance);
+    Ae: (E, nd, nd); lutf: flat (nch*8,) slot lut (clamped >= 0);
+    h01: (2, nch, 3) int32 has0/has1 table; org: (3,) int32 bbox
+    origin. Returns ((nkinds, nbx, nby, nbz, L, L), bad_entry_count)."""
+    g = rg
+    N3 = N * N * N
+    rem = g % N3
+    ch = g // N3
+    P = (rem // (N * N), (rem // N) % N, rem % N)
+    cmin = [jnp.maximum(P[a] - h01[1, ch, a], 0) for a in range(3)]
+    cmax = [jnp.minimum(P[a] - 1 + h01[0, ch, a], n - 1) for a in range(3)]
+    bad = jnp.sum((cmin[0] > cmax[0]) | (cmin[1] > cmax[1])
+                  | (cmin[2] > cmax[2]))
+    # pairwise range intersection per axis
+    A = [jnp.maximum(cmin[a][:, :, None], cmin[a][:, None, :])
+         for a in range(3)]
+    B = [jnp.minimum(cmax[a][:, :, None], cmax[a][:, None, :])
+         for a in range(3)]
+    dis = [A[a] > B[a] for a in range(3)]
+    ndis = (dis[0].astype(jnp.int32) + dis[1].astype(jnp.int32)
+            + dis[2].astype(jnp.int32))
+    # disjoint axis: lower range's top cube hosts the block; the step to
+    # the other range must be exactly one cube
+    rmax = [cmax[a][:, :, None] for a in range(3)]   # row dof range top
+    clow = [jnp.minimum(cmax[a][:, :, None], cmax[a][:, None, :])
+            for a in range(3)]                        # lower range top
+    gap_ok = [A[a] - clow[a] == 1 for a in range(3)]
+    bad = bad + jnp.sum(
+        ((ndis > 1) | (dis[0] & ~gap_ok[0]) | (dis[1] & ~gap_ok[1])
+         | (dis[2] & ~gap_ok[2])).astype(jnp.int32))
+    axk = (dis[0].astype(jnp.int32) * 1 + dis[1].astype(jnp.int32) * 2
+           + dis[2].astype(jnp.int32) * 3)
+    # rev when the ROW dof's range is the upper one on the pair axis
+    rev = ((axk == 1) & (rmax[0] > clow[0])) \
+        | ((axk == 2) & (rmax[1] > clow[1])) \
+        | ((axk == 3) & (rmax[2] > clow[2]))
+    kind = jnp.where(axk > 0, jnp.where(rev, axk + 3, axk), 0)
+    # block cube: disjoint axis -> lower range's top; else intersection top
+    c = [jnp.where(dis[a], clow[a], B[a]) for a in range(3)]
+    ex = [(axk == 1), (axk == 2), (axk == 3)]
+    # row dof lives in c (+e_d for rev); col dof in c (+e_d for fwd)
+    rowc = [c[a] + (ex[a] & rev).astype(jnp.int32) for a in range(3)]
+    colc = [c[a] + (ex[a] & ~rev).astype(jnp.int32) for a in range(3)]
+    rowp = [p[:, :, None] for p in P]
+    colp = [p[:, None, :] for p in P]
+
+    def slot(pp, cc, chs):
+        dx = pp[0] - cc[0]
+        dy = pp[1] - cc[1]
+        dz = pp[2] - cc[2]
+        return lutf[((chs * 2 + dx) * 2 + dy) * 2 + dz]
+
+    sr = slot(rowp, rowc, ch[:, :, None])
+    sc = slot(colp, colc, ch[:, None, :])
+    lin = ((c[0] - org[0]) * nby + (c[1] - org[1])) * nbz + (c[2] - org[2])
+    idx = ((kind * (nbx * nby * nbz) + lin) * L + sr) * L + sc
+    keep = kind < nkinds  # symmetric: rev values implied by fwd^T
+    idx = jnp.where(keep, idx, 0)
+    vals = jnp.where(keep, Ae, 0)
+    out = jnp.zeros((nkinds * nbx * nby * nbz * L * L), Ae.dtype)
+    out = out.at[idx.reshape(-1)].add(vals.reshape(-1))
+    return out.reshape(nkinds, nbx, nby, nbz, L, L), bad
 
 
 @partial(jax.jit, static_argnums=(5,))

@@ -47,7 +47,6 @@ def main():
     a += 0.1 * avg(h) * inner(jump(grad(u), nf), jump(grad(v), nf)) * dSg
     af = fem.form(a, dtype=np.float32)
     dom = fem.active_domain(af)
-    b = np.asarray(fem.assemble_vector(af))[:V.dim] * 0.0
     b = np.ones(V.dim, np.float32)
 
     def build_split(tag):
@@ -73,6 +72,8 @@ def main():
     build_split("pass1 (compiles)")
     op = build_split("pass2 (steady)")
 
+    if os.environ.get("CUTFEMX_PROBE_SOLVES", "1") == "0":
+        return
     for pc in ("asm", "asm2", "asm-fold2", "pallas"):
         try:
             ts = []
