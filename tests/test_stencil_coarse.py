@@ -107,3 +107,47 @@ def test_two_level_solver_parity_and_iterations():
     assert np.linalg.norm(x3 - x1) < 1e-6 * ref
     assert int(it2) <= int(it1)
     assert int(it3) <= int(it1)
+
+
+def test_fold_direct_matches_sweep():
+    """The device closed-form band fold reproduces the sweep's folded
+    operator apply exactly (same block decomposition semantics, different
+    entry->cube assignment; the applied operator must agree)."""
+    import os
+
+    from cutfemx_tpu.stencil import _grid_apply_fold_body
+
+    os.environ["CUTFEMX_FOLD_CLAIM"] = "sweep"
+    try:
+        op1, _ = _cut_operator(n=8)
+        op1._ensure_band_fold()
+    finally:
+        del os.environ["CUTFEMX_FOLD_CLAIM"]
+    op2, _ = _cut_operator(n=8)
+    op2._ensure_band_fold()
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=op1.dim))
+    xg = op1.vec_to_grid(jnp.where(jnp.asarray(op1.active), x, 0.0))
+
+    def fold_apply(op):
+        args = (op.n, op.N, op.nch, op.table, op.gsize, op._bf_bbox,
+                op.A_local, op.cube_mask_j, op.active_grid,
+                op.identity_grid, op._bf_diag, op._bf_fwd, op._bf_rev)
+        return np.asarray(_grid_apply_fold_body(*args, xg))
+
+    y1, y2 = fold_apply(op1), fold_apply(op2)
+    den = np.abs(y1).max()
+    assert np.abs(y2 - y1).max() / den < 1e-12
+
+
+def test_coarse_fold_matches_windows():
+    """The device coarse congruence (assembled from the fold tensors +
+    interior stencil) equals the host window-fold coarse operator."""
+    op, _ = _cut_operator(n=8)
+    op._ensure_band_fold()
+    m = 2
+    A1 = np.asarray(op._coarse_galerkin(m)[0])
+    A2 = np.asarray(op._coarse_galerkin_fold(m)[0])
+    den = np.abs(A1).max()
+    assert np.abs(A2 - A1).max() / den < 1e-12
