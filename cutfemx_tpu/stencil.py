@@ -784,31 +784,34 @@ class StencilCutOperator:
             self._build_band_fold_sweep()
             return
 
-        dense = None
-        nbad = 0
+        # accumulate into one DONATED flat buffer, elements chunked so
+        # the (E, nd, nd) assignment temporaries stay bounded (HBM peak
+        # at n=108 is the 1.6 GB accumulator + ~0.8 GB of temps)
+        dense = jnp.zeros(nkinds * nbx * nby * nbz * L * L, dtype)
+        bads = []
+        org = jnp.asarray(np.array([x0, y0, z0], np.int32))
+        ECH = 1 << 16
         for rg, Ae in zip(self.rest_rows_grid, self.rest_mats):
             E, nd = np.asarray(rg).shape
-            if E == 0:
-                continue
-            pad = _fold_bucket(E, lo=4096) - E
-            rg_p = np.concatenate(
-                [np.asarray(rg, np.int64)] +
-                ([np.repeat(np.asarray(rg[:1], np.int64), pad, 0)]
-                 if pad else []))
-            Ae_p = jnp.concatenate(
-                [Ae, jnp.zeros((pad, nd, nd), Ae.dtype)]) if pad else Ae
-            out, bad = _fold_direct_device(
-                n, N, L, nbx, nby, nbz, nkinds,
-                lutf, h01, jnp.asarray(np.array([x0, y0, z0], np.int32)),
-                jnp.asarray(rg_p.astype(np.int32)), Ae_p)
-            nbad += int(bad)
-            dense = out if dense is None else dense + out
-        if nbad:
+            for st in range(0, E, ECH):
+                rgc = np.asarray(rg[st:st + ECH], np.int64)
+                Aec = Ae[st:st + ECH]
+                pad = _fold_bucket(len(rgc), lo=4096) - len(rgc)
+                if pad:
+                    rgc = np.concatenate(
+                        [rgc, np.repeat(rgc[:1], pad, 0)])
+                    Aec = jnp.concatenate(
+                        [Aec, jnp.zeros((pad, nd, nd), Aec.dtype)])
+                dense, bad = _fold_direct_device(
+                    n, N, L, nbx, nby, nbz, nkinds, dense,
+                    lutf, h01, org, jnp.asarray(rgc.astype(np.int32)),
+                    Aec)
+                bads.append(bad)
+        if bads and int(sum(int(b) for b in bads)):
             raise RuntimeError(
                 "band fold: element entries not assignable to cube/"
                 "pair blocks (unexpected mesh numbering)")
-        if dense is None:
-            dense = jnp.zeros((nkinds, nbx, nby, nbz, L, L), dtype)
+        dense = dense.reshape(nkinds, nbx, nby, nbz, L, L)
         self._bf_diag = dense[0]
         self._bf_fwd = tuple(dense[1 + d] for d in range(3))
         self._bf_rev = (None if symmetric
@@ -1370,7 +1373,7 @@ class StencilCutOperator:
         Aflat = jnp.zeros(Vc * Vc, dt)
         actf = self.active_grid
 
-        CH = 1 << 18
+        CH = 1 << 17   # bounds the (C, L, 27) window transients in HBM
         full = np.flatnonzero(
             np.asarray(self.cube_mask).reshape(-1)).astype(np.int32)
         for st in range(0, len(full), CH):
@@ -1688,9 +1691,10 @@ def _coarse_fold_pair(n, N, K, m, table, sub, axis, rev, sym, Aflat,
     return Aflat
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, lutf, h01, org,
-                        rg, Ae):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
+         donate_argnums=(7,))
+def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, out, lutf, h01,
+                        org, rg, Ae):
     """Closed-form band fold, fully on device (see
     _build_band_fold_direct): every element-matrix entry (e, i, j) gets a
     (kind, cube, slot_row, slot_col) in vectorized int arithmetic and is
@@ -1708,7 +1712,8 @@ def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, lutf, h01, org,
     rg: (E, nd) int32 flat grid ids (rows == cols of the instance);
     Ae: (E, nd, nd); lutf: flat (nch*8,) slot lut (clamped >= 0);
     h01: (2, nch, 3) int32 has0/has1 table; org: (3,) int32 bbox
-    origin. Returns ((nkinds, nbx, nby, nbz, L, L), bad_entry_count)."""
+    origin; out: DONATED (nkinds*nbx*nby*nbz*L*L,) accumulator.
+    Returns (out + folds, bad_entry_count)."""
     g = rg
     N3 = N * N * N
     rem = g % N3
@@ -1764,9 +1769,7 @@ def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, lutf, h01, org,
     keep = kind < nkinds  # symmetric: rev values implied by fwd^T
     idx = jnp.where(keep, idx, 0)
     vals = jnp.where(keep, Ae, 0)
-    out = jnp.zeros((nkinds * nbx * nby * nbz * L * L), Ae.dtype)
-    out = out.at[idx.reshape(-1)].add(vals.reshape(-1))
-    return out.reshape(nkinds, nbx, nby, nbz, L, L), bad
+    return out.at[idx.reshape(-1)].add(vals.reshape(-1)), bad
 
 
 @partial(jax.jit, static_argnums=(5,))
