@@ -1373,7 +1373,8 @@ class StencilCutOperator:
         Aflat = jnp.zeros(Vc * Vc, dt)
         actf = self.active_grid
 
-        CH = 1 << 17   # bounds the (C, L, 27) window transients in HBM
+        CH = 1 << 15   # bounds the (C, L, 27) window transients in HBM
+                       # (~0.5 GB/dispatch; the n=108 chip OOMed at 2 GB)
         full = np.flatnonzero(
             np.asarray(self.cube_mask).reshape(-1)).astype(np.int32)
         for st in range(0, len(full), CH):
