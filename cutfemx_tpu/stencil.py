@@ -1387,40 +1387,42 @@ class StencilCutOperator:
                                   np.float32)),
                 self.A_local)
 
+        # band part: chunk along bbox x-planes so each block-tensor
+        # chunk is a contiguous leading-axis slice (no full-tensor
+        # reshape copies — those OOMed the n=108 chip)
         x0, y0, z0, nbx, nby, nbz = self._bf_bbox
-        ii, jj, kk = np.meshgrid(np.arange(nbx), np.arange(nby),
-                                 np.arange(nbz), indexing="ij")
-        bb = (((x0 + ii) * n + y0 + jj) * n + z0 + kk).reshape(-1) \
-            .astype(np.int32)
-        nbb = len(bb)
-        for st in range(0, nbb, CH):
-            cub = bb[st:st + CH]
-            pad = _fold_bucket(len(cub), lo=4096) - len(cub)
+        jj, kk = np.meshgrid(np.arange(nby), np.arange(nbz),
+                             indexing="ij")
+        plane = ((y0 + jj) * n + z0 + kk).reshape(-1).astype(np.int32)
+        CHX = max(1, CH // (nby * nbz))
+        sym = self._bf_rev is None
+        for st in range(0, nbx, CHX):
+            xs = np.arange(st, min(st + CHX, nbx), dtype=np.int32)
+            cub = ((x0 + xs)[:, None] * (n * n)
+                   + plane[None, :]).reshape(-1)
+            C = len(cub)
+            pad = _fold_bucket(C, lo=4096) - C
             cubd = jnp.asarray(_padz(cub, pad, np.int32))
-            sl_ = slice(st, st + CH)
-            Md = self._bf_diag.reshape(nbb, L, L)[sl_]
-            if pad:
-                Md = jnp.concatenate(
-                    [Md, jnp.zeros((pad, L, L), Md.dtype)])
-            Aflat = _coarse_fold_diag(n, N, K, m, table, sub, Aflat,
-                                      tabd, actf, cubd, Md)
-            sym = self._bf_rev is None
-            for d in range(3):
-                F = self._bf_fwd[d].reshape(nbb, L, L)[sl_]
+
+            def chunk(T5):
+                M = T5[st:st + CHX].reshape(-1, L, L)
                 if pad:
-                    F = jnp.concatenate(
-                        [F, jnp.zeros((pad, L, L), F.dtype)])
+                    M = jnp.concatenate(
+                        [M, jnp.zeros((pad, L, L), M.dtype)])
+                return M
+
+            Aflat = _coarse_fold_diag(n, N, K, m, table, sub, Aflat,
+                                      tabd, actf, cubd,
+                                      chunk(self._bf_diag))
+            for d in range(3):
                 Aflat = _coarse_fold_pair(n, N, K, m, table, sub, d,
                                           False, sym, Aflat, tabd, actf,
-                                          cubd, F)
+                                          cubd, chunk(self._bf_fwd[d]))
                 if not sym:
-                    G = self._bf_rev[d].reshape(nbb, L, L)[sl_]
-                    if pad:
-                        G = jnp.concatenate(
-                            [G, jnp.zeros((pad, L, L), G.dtype)])
                     Aflat = _coarse_fold_pair(n, N, K, m, table, sub, d,
                                               True, False, Aflat, tabd,
-                                              actf, cubd, G)
+                                              actf, cubd,
+                                              chunk(self._bf_rev[d]))
         if _dbg:
             jax.block_until_ready(Aflat)
             print(f"[coarse-fold] total {_time.perf_counter() - _t0:.2f}s",
