@@ -817,8 +817,9 @@ class StencilCutOperator:
         self._bf_rev = (None if symmetric
                         else tuple(dense[4 + d] for d in range(3)))
         self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
+        # drain the dispatch queue before the next build stage (memory)
+        jax.block_until_ready(self._bf_diag)
         if _dbg:
-            jax.block_until_ready(self._bf_diag)
             print(f"[fold-direct] total {_time.perf_counter() - _t0:.2f}s",
                   flush=True)
 
@@ -1156,6 +1157,9 @@ class StencilCutOperator:
             inv_band)
         self._asm_binv = dense.reshape(nbx, nby, nbz, L, L)
         self._asm_bbox = (x0, y0, z0, nbx, nby, nbz)
+        # drain the dispatch queue: back-to-back builds otherwise keep
+        # several stages' transients alive at once (OOMed n=108)
+        jax.block_until_ready(self._asm_binv)
 
     # -- two-level coarse space ----------------------------------------------
 
@@ -1423,8 +1427,8 @@ class StencilCutOperator:
                                               True, False, Aflat, tabd,
                                               actf, cubd,
                                               chunk(self._bf_rev[d]))
+        jax.block_until_ready(Aflat)
         if _dbg:
-            jax.block_until_ready(Aflat)
             print(f"[coarse-fold] total {_time.perf_counter() - _t0:.2f}s",
                   flush=True)
         return Aflat.reshape(Vc, Vc), K, Ws
