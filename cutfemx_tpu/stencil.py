@@ -784,10 +784,11 @@ class StencilCutOperator:
             self._build_band_fold_sweep()
             return
 
-        # accumulate into one DONATED flat buffer, elements chunked so
+        # accumulate into per-kind DONATED buffers, elements chunked so
         # the (E, nd, nd) assignment temporaries stay bounded (HBM peak
-        # at n=108 is the 1.6 GB accumulator + ~0.8 GB of temps)
-        dense = jnp.zeros(nkinds * nbx * nby * nbz * L * L, dtype)
+        # at n=108 is the 1.6 GB of block tensors + ~0.8 GB of temps)
+        dense = [jnp.zeros(nbx * nby * nbz * L * L, dtype)
+                 for _ in range(nkinds)]
         bads = []
         org = jnp.asarray(np.array([x0, y0, z0], np.int32))
         ECH = 1 << 16
@@ -811,11 +812,12 @@ class StencilCutOperator:
             raise RuntimeError(
                 "band fold: element entries not assignable to cube/"
                 "pair blocks (unexpected mesh numbering)")
-        dense = dense.reshape(nkinds, nbx, nby, nbz, L, L)
-        self._bf_diag = dense[0]
-        self._bf_fwd = tuple(dense[1 + d] for d in range(3))
+        shp = (nbx, nby, nbz, L, L)
+        self._bf_diag = dense[0].reshape(shp)
+        self._bf_fwd = tuple(dense[1 + d].reshape(shp) for d in range(3))
         self._bf_rev = (None if symmetric
-                        else tuple(dense[4 + d] for d in range(3)))
+                        else tuple(dense[4 + d].reshape(shp)
+                                   for d in range(3)))
         self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
         # drain the dispatch queue before the next build stage (memory)
         jax.block_until_ready(self._bf_diag)
@@ -1719,8 +1721,10 @@ def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, out, lutf, h01,
     rg: (E, nd) int32 flat grid ids (rows == cols of the instance);
     Ae: (E, nd, nd); lutf: flat (nch*8,) slot lut (clamped >= 0);
     h01: (2, nch, 3) int32 has0/has1 table; org: (3,) int32 bbox
-    origin; out: DONATED (nkinds*nbx*nby*nbz*L*L,) accumulator.
-    Returns (out + folds, bad_entry_count)."""
+    origin; out: DONATED list of nkinds (nbx*nby*nbz*L*L,) accumulators
+    (per-kind buffers — one flat buffer plus a 4-way split doubled the
+    peak and OOMed the n=108 chip). Returns (updated out list,
+    bad_entry_count)."""
     g = rg
     N3 = N * N * N
     rem = g % N3
@@ -1772,11 +1776,15 @@ def _fold_direct_device(n, N, L, nbx, nby, nbz, nkinds, out, lutf, h01,
     sr = slot(rowp, rowc, ch[:, :, None])
     sc = slot(colp, colc, ch[:, None, :])
     lin = ((c[0] - org[0]) * nby + (c[1] - org[1])) * nbz + (c[2] - org[2])
-    idx = ((kind * (nbx * nby * nbz) + lin) * L + sr) * L + sc
-    keep = kind < nkinds  # symmetric: rev values implied by fwd^T
-    idx = jnp.where(keep, idx, 0)
-    vals = jnp.where(keep, Ae, 0)
-    return out.at[idx.reshape(-1)].add(vals.reshape(-1)), bad
+    idx = (lin * L + sr) * L + sc
+    # symmetric (nkinds == 4): rev values are implied by fwd^T and drop
+    outs = []
+    for k in range(nkinds):
+        sel = kind == k
+        outs.append(out[k].at[
+            jnp.where(sel, idx, 0).reshape(-1)].add(
+            jnp.where(sel, Ae, 0).reshape(-1)))
+    return outs, bad
 
 
 @partial(jax.jit, static_argnums=(5,))
