@@ -148,7 +148,7 @@ def banded_ell_spmv(ell, x, interpret=False):
                 pl.BlockSpec((1, br, ell["colrel"].shape[2]),
                              lambda b, win: (b, 0, 0),
                              memory_space=vmem),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((br,), lambda b, win: (b,),
                                    memory_space=vmem),

@@ -132,8 +132,8 @@ def _stencil_call(T, table, A_static, interpret, Xp, Mp):
     return pl.pallas_call(
         kern,
         grid=(nT, nT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (nch, T, T, NzP), lambda i, j: (0, i, j, 0),
             memory_space=pltpu.VMEM),

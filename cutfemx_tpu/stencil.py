@@ -380,7 +380,7 @@ class StencilCutOperator:
         invalid slots so Jacobi division is safe)."""
         return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
-    def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="asm",
+    def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="auto",
                  dispatch_chunk=None, refine="auto"):
         """Fully-jitted preconditioned CG, grid layout end-to-end: the
         interior apply is pure slicing + one batched matmul (no gathers);
@@ -389,19 +389,32 @@ class StencilCutOperator:
         with identical padded shapes reuses the compiled solver.
 
         precond:
-          'asm' (default) — gather element path + overlapping cube-block
+          'auto' (default) — picks the measured winner for the setup:
+            the full two-level Pallas stack on large TPU problems
+            (its per-pass preconditioner builds amortize over the
+            iteration count there), plain 'asm' otherwise (small
+            problems and the CPU backend, where Pallas only has the
+            slow interpret mode).
+          'asm' — gather element path + overlapping cube-block
             additive Schwarz (~2-3x fewer iterations than Jacobi on the
             cut P2 bench; cheap per-step build).
           'asm-fold' — folded element path (dense cube/pair blocks, zero
             gathers in the apply) + ASM. The fold build costs a few
             solve-seconds, so it pays off only when one operator is
             solved repeatedly (fixed-cut time stepping, Newton).
+          'asm2' / 'asm-fold2' — the above plus the coarse lattice
+            level (two-level: flattens iteration growth with n).
+          'pallas' — Pallas fused interior stencil + folded band +
+            cube-ASM + coarse level (the 10M-dof production stack).
           'jacobi' — diagonal preconditioner.
 
         Long solves run as a host loop of <=dispatch_chunk-iteration
         device dispatches: a single while_loop dispatch covering
         hundreds of iterations at 10M dofs exceeds the remote TPU
         runtime's per-dispatch limit."""
+        if precond == "auto":
+            on_cpu = jax.default_backend() == "cpu"
+            precond = "pallas" if (not on_cpu and self.n >= 72) else "asm"
         if precond not in ("asm", "asm-fold", "jacobi", "asm2",
                            "asm-fold2", "pallas"):
             raise ValueError(f"unknown precond {precond!r}")
