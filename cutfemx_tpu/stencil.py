@@ -464,8 +464,8 @@ class StencilCutOperator:
                                     bg, rtol, maxiter, dispatch_chunk)
         if precond == "pallas":
             from .pallas_stencil import _AStatic, pad_mask_for_stencil
-            self._ensure_cube_asm()
             self._ensure_band_fold()
+            self._ensure_cube_asm()
             self._ensure_coarse()
             pT = 16
             if getattr(self, "_pallas_Mp", None) is None:
@@ -486,8 +486,8 @@ class StencilCutOperator:
                                     arrays, bg, rtol, maxiter,
                                     dispatch_chunk)
         if precond == "asm-fold2":
-            self._ensure_cube_asm()
             self._ensure_band_fold()
+            self._ensure_cube_asm()
             self._ensure_coarse()
             statics = (*self._grid_statics(), self._asm_bbox,
                        self._bf_bbox, self._c_sel)
@@ -498,8 +498,8 @@ class StencilCutOperator:
             return self._chunked_cg(_grid_cg_fold2_first,
                                     _grid_cg_fold2_chunk, statics, arrays,
                                     bg, rtol, maxiter, dispatch_chunk)
-        self._ensure_cube_asm()
         self._ensure_band_fold()
+        self._ensure_cube_asm()
         statics = (*self._grid_statics(), self._asm_bbox, self._bf_bbox)
         arrays = (self.A_local, self.cube_mask_j, self.active_grid,
                   self.identity_grid, self._bf_diag, self._bf_fwd,
@@ -832,6 +832,9 @@ class StencilCutOperator:
                         else tuple(dense[4 + d].reshape(shp)
                                    for d in range(3)))
         self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
+        # the closed-form (top-cube) assignment makes _bf_diag exactly
+        # invertible into per-cube ASM blocks (see _asm_blocks_from_fold)
+        self._bf_direct = True
         # drain the dispatch queue before the next build stage (memory)
         jax.block_until_ready(self._bf_diag)
         if _dbg:
@@ -1016,6 +1019,9 @@ class StencilCutOperator:
         self._bf_fwd = tuple(tensors[1:4])
         self._bf_rev = None if symmetric else tuple(tensors[4:7])
         self._bf_bbox = (x0, y0, z0, nbx, nby, nbz)
+        # sweep claiming is first-containing-cube priority, not the
+        # closed form — the ASM reconstruction does not apply
+        self._bf_direct = False
         if _dbg:
             jax.block_until_ready(self._bf_diag)
             print(f"[fold] device folds {_time.perf_counter() - _t0:.2f}s",
@@ -1037,7 +1043,91 @@ class StencilCutOperator:
         cubes so the preconditioner apply is slicing + one batched matmul
         with zero gathers (same economics as the interior stencil apply).
         Prototype (tools/proto_cube_asm.py, exact blocks): 211 -> 65 CG
-        iterations at n=16, 358 -> 113 at n=32, vs Jacobi."""
+        iterations at n=16, 358 -> 113 at n=32, vs Jacobi.
+
+        When the direct band fold is already built, the element fold is
+        reconstructed from its block tensors entirely on device
+        (_asm_blocks_from_fold) — the host per-element cube sweep below
+        cost ~8 s per pipeline pass at n=108 on this 1-CPU microVM."""
+        mode = _os.environ.get("CUTFEMX_ASM_BUILD", "auto")
+        if mode != "host" and getattr(self, "_bf_diag", None) is not None \
+                and getattr(self, "_bf_direct", False):
+            band, blocks = self._asm_blocks_from_fold()
+        else:
+            band, blocks = self._asm_blocks_host()
+        self._finish_cube_asm(band, blocks)
+
+    def _asm_blocks_from_fold(self):
+        """Element-path ASM fold blocks reconstructed from the direct
+        band fold: _bf_diag assigns every same-cube entry (i, j) to the
+        TOP cube of the pair's containing range (closed form in
+        _build_band_fold_direct), and the pair's remaining containing
+        cubes are exactly the delta in {0,1}^3 DOWN-shifts whose slot
+        remap (ch, o) -> (ch, o + delta) exists in the slot table for
+        both row and column slots. So the per-cube principal-submatrix
+        sum over all containing cubes is
+
+          ASM_c = sum_delta  P_delta^T  _bf_diag[c + delta]  P_delta
+
+        with P_delta the static slot-selection map — 8 shifted
+        slot-remapped adds of the fold tensor, no per-element work.
+        Pair-block entries (disjoint cube ranges) never share a cube and
+        correctly never contribute. The band is the set of cubes with a
+        nonzero reconstructed off-diagonal (block diagonals are
+        overwritten with the exact operator diagonal downstream, so
+        diagonal-only discrepancies vs the host sweep are immaterial)."""
+        n = self.n
+        table = self.table
+        L = len(table)
+        dtype = self.A_local.dtype
+        x0, y0, z0, nbx, nby, nbz = self._bf_bbox
+        # shifted targets extend one cube below the fold bbox
+        ex0, ey0, ez0 = max(x0 - 1, 0), max(y0 - 1, 0), max(z0 - 1, 0)
+        mbx = nbx + (x0 - ex0)
+        mby = nby + (y0 - ey0)
+        mbz = nbz + (z0 - ez0)
+        sidx = {(ch, tuple(o)): s for s, (ch, o) in enumerate(table)}
+        acc = jnp.zeros((mbx, mby, mbz, L, L), dtype)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    iperm = np.zeros(L, np.int32)
+                    mask = np.zeros(L, np.float32)
+                    for t, (ch, o) in enumerate(table):
+                        src = sidx.get((ch, (o[0] - dx, o[1] - dy,
+                                             o[2] - dz)))
+                        if src is not None:
+                            iperm[t] = src
+                            mask[t] = 1.0
+                    if not mask.any():
+                        continue
+                    sx = max(0, dx - (x0 - ex0))
+                    sy = max(0, dy - (y0 - ey0))
+                    sz = max(0, dz - (z0 - ez0))
+                    acc = _asm_shift_add(
+                        acc, self._bf_diag, jnp.asarray(iperm),
+                        jnp.asarray(mask, dtype),
+                        (sx, sy, sz,
+                         (x0 - ex0) - dx + sx, (y0 - ey0) - dy + sy,
+                         (z0 - ez0) - dz + sz,
+                         nbx - sx, nby - sy, nbz - sz))
+        covb = np.asarray(_asm_offdiag_cover(acc)).reshape(-1)
+        gx = np.arange(mbx) + ex0
+        gy = np.arange(mby) + ey0
+        gz = np.arange(mbz) + ez0
+        gflat = ((gx[:, None, None] * n + gy[None, :, None]) * n
+                 + gz[None, None, :]).reshape(-1)
+        bsel = np.flatnonzero(covb)
+        order = np.argsort(gflat[bsel], kind="stable")
+        bsel = bsel[order]
+        band = gflat[bsel]
+        blocks = acc.reshape(-1, L, L)[jnp.asarray(bsel.astype(np.int32))]
+        # drop the dense accumulator before downstream builds allocate
+        jax.block_until_ready(blocks)
+        del acc
+        return band, blocks
+
+    def _asm_blocks_host(self):
         n, N, nch = self.n, self.N, self.nch
         table = self.table
         L = len(table)
@@ -1100,6 +1190,16 @@ class StencilCutOperator:
                     jnp.asarray(_padz(slots[sl_], pad, np.int32, -1)), L)
                 blocks = blocks.at[jnp.asarray(
                     _padz(bidx[sl_], pad, np.int32))].add(fold)
+        return band, blocks
+
+    def _finish_cube_asm(self, band, blocks):
+        """Shared ASM finishing: base A_local on fully-standard cubes,
+        exact-diagonal overwrite, weak-slot decoupling, SPD inversion,
+        dense bbox inverse tensor."""
+        n, N = self.n, self.N
+        table = self.table
+        L = len(table)
+        dtype = self.A_local.dtype
         # -- base: A_local for fully-standard cubes (device)
         full_flat = np.asarray(self.cube_mask).reshape(-1)
         fb = np.flatnonzero(full_flat[band]).astype(np.int32)
@@ -1609,6 +1709,27 @@ def _padz(a, pad, dt, fill=0):
         return a
     return np.concatenate(
         [a, np.full((pad,) + a.shape[1:], fill, dt)])
+
+
+@partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+def _asm_shift_add(acc, D, iperm, mask, sl):
+    """acc[w:w+l] += slot-remapped D[s:s+l] for one ASM shift delta:
+    target block entry (t_r, t_c) reads source (iperm[t_r], iperm[t_c]),
+    masked to slots whose remap exists (see _asm_blocks_from_fold)."""
+    sx, sy, sz, wx, wy, wz, lx, ly, lz = sl
+    Ds = D[sx:sx + lx, sy:sy + ly, sz:sz + lz]
+    Dm = Ds[..., iperm, :][..., :, iperm] \
+        * (mask[:, None] * mask[None, :])
+    return acc.at[wx:wx + lx, wy:wy + ly, wz:wz + lz].add(Dm)
+
+
+@jax.jit
+def _asm_offdiag_cover(acc):
+    """(..., L, L) block tensor -> bool cover of blocks with any nonzero
+    off-diagonal entry."""
+    L = acc.shape[-1]
+    off = jnp.abs(acc) * (1.0 - jnp.eye(L, dtype=acc.dtype))
+    return off.sum((-1, -2)) > 0
 
 
 @partial(jax.jit, static_argnums=(3,))
