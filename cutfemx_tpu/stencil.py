@@ -1454,14 +1454,44 @@ class StencilCutOperator:
                   flush=True)
         return Aflat.reshape(Vc, Vc), K, Ws
 
+    def _coarse_tab3(self, m):
+        """1-D hat-weight table for base-relative coarse windows:
+        tab[c, sh, d, s, k] = weight of coarse vertex (c//m + k) for the
+        point min(c+sh, n-1) + d + 0.5*s. Offsets stay within [0, 2]
+        even for the shifted (+e_axis pair-block) cube because the point
+        gap to c is < 2m for m >= 2."""
+        n = self.n
+        K, Ws, PJ, PW = self._coarse_1d(m)
+        tab = np.zeros((n, 2, 2, 2, 3), np.float64)
+        c = np.arange(n)
+        base = c // m
+        for sh in (0, 1):
+            ce = np.minimum(c + sh, n - 1)
+            for d in (0, 1):
+                for s in (0, 1):
+                    j = np.asarray(PJ[ce + d, s])
+                    w = np.asarray(PW[ce + d, s])
+                    k2 = np.stack([j - base, j + 1 - base], 1)
+                    if k2.min() < 0 or k2.max() > 2:
+                        raise AssertionError("coarse window wider than 3")
+                    for t in range(2):
+                        tab[c, sh, d, s, k2[:, t]] += w[:, t]
+        return K, Ws, tab
+
     def _coarse_galerkin_fold(self, m):
         """_coarse_galerkin assembled device-side from the band-fold
         block tensors + the interior stencil. Identical result up to fp
         summation order: the fold reproduces the element path exactly,
         and active-masking commutes through the block decomposition
         (P~^T A_rest P~ = sum_c (act W_c)^T D_c (act W_c) + pair terms).
-        Replaces the host window_u/fold loops that cost ~4.4 s per
-        pipeline pass at n=48 on this 1-CPU microVM."""
+
+        All four fold kinds accumulate (27, 27) coarse-window blocks
+        keyed by ONE base-cell index per cube (windows are expressed
+        relative to the unshifted cube's coarse cell, which also covers
+        the +e_axis pair side), then a single conversion scatter builds
+        the dense coarse matrix. This replaces per-value scatters of
+        C*729 independent indices (~1e9 scatter-adds per pass at n=108,
+        the former coarse-build dominator) with one index per cube."""
         import time as _time
         _dbg = _os.environ.get("CUTFEMX_DEBUG_BUILD")
         _t0 = _time.perf_counter()
@@ -1470,26 +1500,13 @@ class StencilCutOperator:
                       for ch, o in self.table)
         L = len(table)
         dt = self.A_local.dtype
-        K, Ws, PJ, PW = self._coarse_1d(m)
-        # per-(cube, offset, sub) 1-D hat weights in the 3-wide coarse
-        # window based at cube//m
-        tab = np.zeros((n, 2, 2, 3), np.float64)
-        c = np.arange(n)
-        base = c // m
-        for d in (0, 1):
-            for s in (0, 1):
-                j = np.asarray(PJ[c + d, s])          # coarse cell index
-                w = np.asarray(PW[c + d, s])          # (n, 2): j, j+1
-                k2 = np.stack([j - base, j + 1 - base], 1)
-                if k2.min() < 0 or k2.max() > 2:
-                    raise AssertionError("coarse window wider than 3")
-                for t in range(2):
-                    tab[c, d, s, k2[:, t]] += w[:, t]
+        K, Ws, tab = self._coarse_tab3(m)
         tabd = jnp.asarray(tab, dt)
         sub = tuple(tuple(int(v) for v in row)
                     for row in self._channel_sub())
+        nc = -(-n // m)
         Vc = K ** 3
-        Aflat = jnp.zeros(Vc * Vc, dt)
+        acc = jnp.zeros((nc ** 3, 27, 27), dt)
         actf = self.active_grid
 
         CH = 1 << 15   # bounds the (C, L, 27) window transients in HBM
@@ -1499,8 +1516,8 @@ class StencilCutOperator:
         for st in range(0, len(full), CH):
             cub = full[st:st + CH]
             pad = _fold_bucket(len(cub), lo=4096) - len(cub)
-            Aflat = _coarse_fold_shared(
-                n, N, K, m, table, sub, Aflat, tabd, actf,
+            acc = _coarse_fold_shared(
+                n, N, nc, m, table, sub, acc, tabd, actf,
                 jnp.asarray(_padz(cub, pad, np.int32)),
                 jnp.asarray(_padz(np.ones(len(cub), np.float32), pad,
                                   np.float32)),
@@ -1530,18 +1547,19 @@ class StencilCutOperator:
                         [M, jnp.zeros((pad, L, L), M.dtype)])
                 return M
 
-            Aflat = _coarse_fold_diag(n, N, K, m, table, sub, Aflat,
-                                      tabd, actf, cubd,
-                                      chunk(self._bf_diag))
+            acc = _coarse_fold_diag(n, N, nc, m, table, sub, acc,
+                                    tabd, actf, cubd,
+                                    chunk(self._bf_diag))
             for d in range(3):
-                Aflat = _coarse_fold_pair(n, N, K, m, table, sub, d,
-                                          False, sym, Aflat, tabd, actf,
-                                          cubd, chunk(self._bf_fwd[d]))
+                acc = _coarse_fold_pair(n, N, nc, m, table, sub, d,
+                                        False, sym, acc, tabd, actf,
+                                        cubd, chunk(self._bf_fwd[d]))
                 if not sym:
-                    Aflat = _coarse_fold_pair(n, N, K, m, table, sub, d,
-                                              True, False, Aflat, tabd,
-                                              actf, cubd,
-                                              chunk(self._bf_rev[d]))
+                    acc = _coarse_fold_pair(n, N, nc, m, table, sub, d,
+                                            True, False, acc, tabd,
+                                            actf, cubd,
+                                            chunk(self._bf_rev[d]))
+        Aflat = _coarse_acc_to_dense(nc, K, acc)
         jax.block_until_ready(Aflat)
         if _dbg:
             print(f"[coarse-fold] total {_time.perf_counter() - _t0:.2f}s",
@@ -1743,95 +1761,106 @@ def _fold_pairs_device(Ae, elem, slots, L):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes, masked,
+def _coarse_windows(n, N, nc, m, table, sub, tabd, actf, cubes, masked,
                     shift=None):
-    """Per-cube trilinear coarse windows: (C, L, 27) weights W and
-    (C, 27) absolute coarse-vertex indices I for the given flat cube ids
-    (shift: column side of a +e_axis pair block; lattice-edge neighbors
-    clamp — their blocks are zero). masked multiplies slot rows by the
-    active mask (P~ = diag(active) P on the element path)."""
+    """Per-cube trilinear coarse windows relative to the UNSHIFTED
+    cube's coarse base cell: (C, L, 27) weights W and (C,) flat base-cell
+    ids (shift: the cube is the +e_axis side of a pair block;
+    lattice-edge neighbors clamp — their blocks are zero). masked
+    multiplies slot rows by the active mask (P~ = diag(active) P on the
+    element path)."""
     chs = np.array([ch for ch, _ in table])
     offs = np.array([off for _, off in table])
     subs = np.array(sub)[chs]
     cx = cubes // (n * n)
     cy = (cubes // n) % n
     cz = cubes % n
-    if shift is not None:
-        e = [int(shift == a) for a in range(3)]
-        cx = jnp.minimum(cx + e[0], n - 1)
-        cy = jnp.minimum(cy + e[1], n - 1)
-        cz = jnp.minimum(cz + e[2], n - 1)
-    TX = tabd[cx[:, None], offs[None, :, 0], subs[None, :, 0], :]
-    TY = tabd[cy[:, None], offs[None, :, 1], subs[None, :, 1], :]
-    TZ = tabd[cz[:, None], offs[None, :, 2], subs[None, :, 2], :]
+    e = ([int(shift == a) for a in range(3)] if shift is not None
+         else [0, 0, 0])
+    TX = tabd[cx[:, None], e[0], offs[None, :, 0], subs[None, :, 0], :]
+    TY = tabd[cy[:, None], e[1], offs[None, :, 1], subs[None, :, 1], :]
+    TZ = tabd[cz[:, None], e[2], offs[None, :, 2], subs[None, :, 2], :]
     W = (TX[:, :, :, None, None] * TY[:, :, None, :, None]
          * TZ[:, :, None, None, :]).reshape(cubes.shape[0], len(table), 27)
     if masked:
-        pos = (((chs[None, :] * N + cx[:, None] + offs[None, :, 0]) * N
-                + cy[:, None] + offs[None, :, 1]) * N
-               + cz[:, None] + offs[None, :, 2])
+        ex = jnp.minimum(cx + e[0], n - 1)
+        ey = jnp.minimum(cy + e[1], n - 1)
+        ez = jnp.minimum(cz + e[2], n - 1)
+        pos = (((chs[None, :] * N + ex[:, None] + offs[None, :, 0]) * N
+                + ey[:, None] + offs[None, :, 1]) * N
+               + ez[:, None] + offs[None, :, 2])
         W = W * jnp.where(actf[pos], W.dtype.type(1), W.dtype.type(0)
                           )[:, :, None]
-    k3 = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
-                              indexing="ij"), -1).reshape(27, 3)
-    I = (((cx // m)[:, None] + k3[None, :, 0]) * K
-         + (cy // m)[:, None] + k3[None, :, 1]) * K \
-        + (cz // m)[:, None] + k3[None, :, 2]
-    return W, I
+    bflat = ((cx // m) * nc + cy // m) * nc + cz // m
+    return W, bflat
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6,))
-def _coarse_fold_shared(n, N, K, m, table, sub, Aflat, tabd, actf, cubes,
+def _coarse_fold_shared(n, N, nc, m, table, sub, acc, tabd, actf, cubes,
                         valid, Aloc):
-    """Aflat += scatter(W_c^T A_local W_c) over full interior cubes
+    """acc[base] += W_c^T A_local W_c over full interior cubes
     (unmasked windows, matching _coarse_galerkin's cube fold). valid
     zeroes bucket-padding cubes — A_local is shared, so padded rows
     would otherwise scatter real blocks."""
     hp = jax.lax.Precision.HIGHEST
-    W, I = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
-                           False)
+    W, bflat = _coarse_windows(n, N, nc, m, table, sub, tabd, actf,
+                               cubes, False)
     W = W * valid[:, None, None]
     T = jnp.einsum("clk,lm->cmk", W, Aloc, precision=hp)
     G = jnp.einsum("cmk,cmq->ckq", T, W, precision=hp)
-    idx = I[:, :, None] * (K * K * K) + I[:, None, :]
-    return Aflat.at[idx.reshape(-1)].add(G.reshape(-1))
+    return acc.at[bflat].add(G)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6,))
-def _coarse_fold_diag(n, N, K, m, table, sub, Aflat, tabd, actf, cubes,
+def _coarse_fold_diag(n, N, nc, m, table, sub, acc, tabd, actf, cubes,
                       M):
-    """Aflat += scatter(W_c^T D_c W_c) over band cubes, active-masked."""
+    """acc[base] += W_c^T D_c W_c over band cubes, active-masked."""
     hp = jax.lax.Precision.HIGHEST
-    W, I = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
-                           True)
+    W, bflat = _coarse_windows(n, N, nc, m, table, sub, tabd, actf,
+                               cubes, True)
     T = jnp.einsum("clk,clm->cmk", W, M, precision=hp)
     G = jnp.einsum("cmk,cmq->ckq", T, W, precision=hp)
-    idx = I[:, :, None] * (K * K * K) + I[:, None, :]
-    return Aflat.at[idx.reshape(-1)].add(G.reshape(-1))
+    return acc.at[bflat].add(G)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
          donate_argnums=(9,))
-def _coarse_fold_pair(n, N, K, m, table, sub, axis, rev, sym, Aflat,
+def _coarse_fold_pair(n, N, nc, m, table, sub, axis, rev, sym, acc,
                       tabd, actf, cubes, F):
-    """Aflat += scatter of a pair-block congruence: fwd blocks couple
-    rows at cube c with columns at c+e_axis (rev: the transpose layout);
-    sym also adds the transposed coupling (Rev = Fwd^T shortcut)."""
+    """acc[base] += a pair-block congruence: fwd blocks couple rows at
+    cube c with columns at c+e_axis (rev: the transpose layout); sym
+    also adds the transposed coupling (Rev = Fwd^T shortcut). Both
+    windows share the unshifted cube's base, so the transpose lands in
+    the same accumulator block."""
     hp = jax.lax.Precision.HIGHEST
-    Wr, Ir = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
-                             True, shift=axis if rev else None)
-    Wc, Ic = _coarse_windows(n, N, K, m, table, sub, tabd, actf, cubes,
-                             True, shift=None if rev else axis)
+    Wr, bflat = _coarse_windows(n, N, nc, m, table, sub, tabd, actf,
+                                cubes, True, shift=axis if rev else None)
+    Wc, _ = _coarse_windows(n, N, nc, m, table, sub, tabd, actf,
+                            cubes, True, shift=None if rev else axis)
     T = jnp.einsum("clk,clm->cmk", Wr, F, precision=hp)
     G = jnp.einsum("cmk,cmq->ckq", T, Wc, precision=hp)
-    Vc = K * K * K
-    idx = Ir[:, :, None] * Vc + Ic[:, None, :]
-    Aflat = Aflat.at[idx.reshape(-1)].add(G.reshape(-1))
     if sym:
-        idxT = Ic[:, :, None] * Vc + Ir[:, None, :]
-        Aflat = Aflat.at[idxT.reshape(-1)].add(
-            jnp.swapaxes(G, 1, 2).reshape(-1))
-    return Aflat
+        G = G + jnp.swapaxes(G, 1, 2)
+    return acc.at[bflat].add(G)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _coarse_acc_to_dense(nc, K, acc):
+    """(nc^3, 27, 27) base-keyed window blocks -> dense (Vc*Vc,) coarse
+    matrix: one conversion scatter. Window offsets that would exceed the
+    vertex lattice carry exactly-zero weights (clamp is safe)."""
+    b = np.arange(nc ** 3)
+    bx, by, bz = b // (nc * nc), (b // nc) % nc, b % nc
+    k3 = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
+                              indexing="ij"), -1).reshape(27, 3)
+    I = np.minimum(((np.minimum(bx[:, None] + k3[None, :, 0], K - 1)) * K
+                    + np.minimum(by[:, None] + k3[None, :, 1], K - 1)) * K
+                   + np.minimum(bz[:, None] + k3[None, :, 2], K - 1),
+                   K ** 3 - 1)
+    pair = jnp.asarray((I[:, :, None] * (K ** 3)
+                        + I[:, None, :]).reshape(-1))
+    Aflat = jnp.zeros(K ** 3 * K ** 3, acc.dtype)
+    return Aflat.at[pair].add(acc.reshape(-1))
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
