@@ -106,6 +106,8 @@ class IntegralInstance:
     data: dict = None             # batched kernel inputs (jnp pytree)
     rows_cells: np.ndarray = None  # cells whose dofs receive contributions
     # (E,) for cell/ext-facet instances, (E, 2) for interior facets
+    n_valid: int = None           # rows [0, n_valid) are real, the rest
+    # bucket padding (host mirror of data["mask"] — avoids device pulls)
     origin: tuple = None          # (integral idx, runtime, itype): aligns
     # instances of structurally-equal forms built over different entity
     # subsets (the sharded owner-computes pipeline, parallel/spipeline.py)
@@ -283,6 +285,7 @@ class CutForm:
                                  (pad,) + inst.rows_cells.shape[1:])])
         data["mask"] = mask
         inst.data = data
+        inst.n_valid = E
         return inst
 
     def _coeff_arrays(self, coefficients, cells):

@@ -126,7 +126,9 @@ class StencilCutOperator:
                 "stencil interior requires a coefficient-free standard "
                 "integrand (spatially varying coefficients break "
                 "translation invariance)")
-        mask_valid = np.asarray(std.data["mask"]) > 0
+        mask_valid = (np.arange(len(std.rows_cells)) < std.n_valid
+                      if std.n_valid is not None
+                      else np.asarray(std.data["mask"]) > 0)
         std_cells = np.asarray(std.rows_cells)[mask_valid]
 
         # cubes fully covered by the standard instance
@@ -181,7 +183,9 @@ class StencilCutOperator:
             if i == std_idx:
                 keep = np.isin(np.asarray(inst.rows_cells),
                                leftover_cells)
-                keep &= np.asarray(inst.data["mask"]) > 0
+                keep &= (np.arange(len(keep)) < inst.n_valid
+                         if inst.n_valid is not None
+                         else np.asarray(inst.data["mask"]) > 0)
                 if keep.any():
                     # filter on device: pulling the full standard-instance
                     # element batch to host is ~100 MB at bench sizes
@@ -216,7 +220,7 @@ class StencilCutOperator:
         nch = 8 if self.degree == 2 else 1
         self.nch = nch
         self.gsize = nch * self.N ** 3
-        d2g = np.asarray(self.dof_to_grid)
+        d2g = self._dof_to_grid_host
         self.rest_rows_grid = tuple(
             jnp.asarray(d2g[np.asarray(r)]) for r in rows_m)
         self.rest_cols_grid = tuple(
@@ -225,11 +229,11 @@ class StencilCutOperator:
         gperm = np.argsort(gflat, kind="stable")
         self._permg = jnp.asarray(gperm.astype(np.int32))
         self._sortedg = jnp.asarray(gflat[gperm].astype(np.int32))
-        valid_flat = np.asarray(self.grid_valid).reshape(-1)
+        valid_flat = self._grid_valid_host.reshape(-1)
         if self.active is not None:
             act = np.zeros(self.gsize, bool)
-            act[valid_flat] = np.asarray(self.active)[
-                np.asarray(self.grid_index).reshape(-1)[valid_flat]]
+            act[valid_flat] = np.asarray(domain.active_mask)[
+                self.grid_index.reshape(-1)[valid_flat]]
             self.active_grid = jnp.asarray(act)
             self.identity_grid = jnp.asarray(valid_flat & ~act)
         else:
@@ -325,6 +329,9 @@ class StencilCutOperator:
                 mesh.num_vertices + np.arange(len(e))
         self.grid_index = grid_index
         valid = grid_index >= 0
+        # host mirrors: re-pulling these from the remote device costs
+        # seconds per ctor at bench sizes (HTTP-tunnel transfers)
+        self._grid_valid_host = valid
         self.grid_valid = jnp.asarray(valid)
         self.grid_gather = jnp.asarray(np.where(valid, grid_index, 0)
                                        .astype(np.int32))
@@ -334,7 +341,8 @@ class StencilCutOperator:
         flat_ids = grid_index[valid]
         lin = ((pos[:, 0] * N + pos[:, 1]) * N + pos[:, 2]) * N + pos[:, 3]
         flatpos[flat_ids] = lin
-        self.dof_to_grid = jnp.asarray(flatpos.astype(np.int32))
+        self._dof_to_grid_host = flatpos.astype(np.int32)
+        self.dof_to_grid = jnp.asarray(self._dof_to_grid_host)
         self.N = N
 
     # -- apply ---------------------------------------------------------------

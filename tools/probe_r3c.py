@@ -73,10 +73,10 @@ def main():
     print("== warm pass ==", flush=True)
     af, dom, b = stamp("forms+assemble", build)
     op = stamp("op ctor", lambda: StencilCutOperator(af, dom))
-    stamp("asm build", lambda: (op._ensure_cube_asm(),
-                                jax.block_until_ready(op._asm_binv)))
     stamp("fold build", lambda: (op._ensure_band_fold(),
                                  jax.block_until_ready(op._bf_diag)))
+    stamp("asm build", lambda: (op._ensure_cube_asm(),
+                                jax.block_until_ready(op._asm_binv)))
     stamp("coarse build", lambda: (op._ensure_coarse(),
                                    jax.block_until_ready(op._c_acinv)))
     x, its, res = stamp("solve (warm builds)", lambda: op.solve_cg(
@@ -94,10 +94,10 @@ def main():
     print("== steady pass ==", flush=True)
     af, dom, b = stamp("forms+assemble", build)
     op = stamp("op ctor", lambda: StencilCutOperator(af, dom))
-    stamp("asm build", lambda: (op._ensure_cube_asm(),
-                                jax.block_until_ready(op._asm_binv)))
     stamp("fold build", lambda: (op._ensure_band_fold(),
                                  jax.block_until_ready(op._bf_diag)))
+    stamp("asm build", lambda: (op._ensure_cube_asm(),
+                                jax.block_until_ready(op._asm_binv)))
     stamp("coarse build", lambda: (op._ensure_coarse(),
                                    jax.block_until_ready(op._c_acinv)))
     x, its, res = stamp("solve (builds cached)", lambda: op.solve_cg(
