@@ -28,10 +28,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import threading
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _note(msg):
+    """Progress stamp on stderr (stdout stays pure JSON for the driver)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 _prefaulted_mb = 0
@@ -123,7 +132,9 @@ def run_one(n, iters, solver):
     # quadrature generation, and operator build are otherwise page-fault
     # bound on a freshly-restored VM. Sized to the problem's working set.
     prefault_mb = min(int(4000 * (n / 48) ** 3), 48000)
+    _note(f"n={n}: prefaulting {prefault_mb} MB")
     pf_mb, pf_s = _prefault(prefault_mb)
+    _note(f"n={n}: prefault done ({pf_mb} MB in {pf_s:.1f}s); host setup")
 
     host_t0 = time.perf_counter()
     mesh = cfx.mesh.create_box((-1, -1, -1), (1, 1, 1), (n, n, n))
@@ -195,16 +206,22 @@ def run_one(n, iters, solver):
     # warm-up pass: compiles every kernel + the fused CG program once
     # (kernels are cached structurally, forms/compile._KERNEL_CACHE, so the
     # timed passes below reuse them — the production moving-domain loop)
+    _note(f"n={n}: host setup done ({host_setup:.1f}s); warm-up pass "
+          "(remote compiles, minutes)")
     pipeline()
 
     # timed runs: classify + runtime quadrature + assembly + CG solve.
     # Best of two passes: host-side paging noise on this microVM swings
     # the assembly phase by up to ~1s run-to-run.
     best = None
-    for _ in range(2):
+    for p in range(2):
+        _note(f"n={n}: timed pass {p + 1}/2")
         t0 = time.perf_counter()
         x, its, res, t_asm = pipeline()
         t1 = time.perf_counter()
+        _note(f"n={n}: pass {p + 1} total {t1 - t0:.2f}s "
+              f"(assembly {t_asm - t0:.2f}s, solve {t1 - t_asm:.2f}s, "
+              f"{its} its)")
         if best is None or (t1 - t0) < (best[1] - best[0]):
             best = (t0, t1, t_asm, its, res)
     t0, t1, t_asm, its, res = best
