@@ -29,6 +29,99 @@ def test_petsc_path_equals_fem_path():
     assert A3.shape == (V.dim, V.dim)
 
 
+def test_petsc_deactivate_outside_signatures():
+    """Reference petsc.py:299-330: deactivate_outside(A, domain) and
+    deactivate_outside(A, b, domain, diagonal=, rhs_value=)."""
+    import pytest
+
+    mesh = cfx.mesh.create_unit_square(8)
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(cfx.functionspace(mesh, ("Lagrange", 1)))
+    phi.interpolate(lambda x: np.sqrt((x[0] - .5) ** 2 + (x[1] - .5) ** 2)
+                    - 0.3)
+    cd = cfx.cut(phi)
+    inside = cfx.locate_entities(cd, "phi<0")
+    vol = cfx.runtime_quadrature(cd, "phi<0", 2)
+    from cutfemx_tpu.forms.measure import Measure
+    dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
+    u, v = TrialFunction(V), TestFunction(V)
+    a = fem.form((inner(grad(u), grad(v)) + u * v) * dxo)
+    dom = fem.active_domain(a)
+    assert len(dom.inactive_dofs) > 0
+
+    # matrix-only signature
+    A = petsc.assemble_matrix(a)
+    out = petsc.deactivate_outside(A, dom, diagonal=3.0)
+    assert out is dom
+    Ad = A.to_dense()
+    r = int(dom.inactive_dofs[0])
+    row = np.array(Ad[r])
+    assert row[r] == 3.0 and np.count_nonzero(row) == 1
+
+    # matrix+vector signature with rhs_value
+    A2 = petsc.assemble_matrix(a)
+    b = np.ones(V.dim)
+    petsc.deactivate_outside(A2, b, dom, diagonal=1.0, rhs_value=7.0)
+    assert np.all(b[dom.inactive_dofs] == 7.0)
+    act = np.setdiff1d(np.arange(V.dim), dom.inactive_dofs)
+    assert np.all(b[act] == 1.0)
+
+    # error paths mirror the reference's TypeErrors
+    with pytest.raises(TypeError):
+        petsc.deactivate_outside(A2, dom, dom)
+    with pytest.raises(TypeError):
+        petsc.deactivate_outside(A2, b, None)
+
+    # zero_rows diagnostic: after zeroing rows with diag=0 they show up
+    A3 = petsc.assemble_matrix(a)
+    from cutfemx_tpu.la import MatrixCSR
+    assert isinstance(A3, MatrixCSR)
+    A3.zero_rows(np.asarray(dom.inactive_dofs), diag=0.0)
+    zr = petsc.zero_rows(A3)
+    assert np.array_equal(np.sort(zr), np.sort(dom.inactive_dofs))
+
+
+def test_petsc_deactivate_blocks_and_zero_block_rows():
+    """Reference petsc.py:348-394 block mirrors on the CSR backend."""
+    mesh = cfx.mesh.create_unit_square(8)
+    V = cfx.functionspace(mesh, ("Lagrange", 2))
+    Q = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(cfx.functionspace(mesh, ("Lagrange", 1)))
+    phi.interpolate(lambda x: np.sqrt((x[0] - .5) ** 2 + (x[1] - .5) ** 2)
+                    - 0.3)
+    cd = cfx.cut(phi)
+    inside = cfx.locate_entities(cd, "phi<0")
+    vol = cfx.runtime_quadrature(cd, "phi<0", 3)
+    from cutfemx_tpu.forms.measure import Measure
+    dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
+    u, v = TrialFunction(V), TestFunction(V)
+    p, q = TrialFunction(Q), TestFunction(Q)
+    a00 = fem.form((inner(grad(u), grad(v)) + u * v) * dxo)
+    a01 = fem.form(p * v * dxo)
+    a10 = fem.form(u * q * dxo)
+    a11 = fem.form(p * q * dxo)
+    dom0 = fem.active_domain(a00)
+    dom1 = fem.active_domain(a11)
+    blocks = [[petsc.assemble_matrix(a00), petsc.assemble_matrix(a01)],
+              [petsc.assemble_matrix(a10), petsc.assemble_matrix(a11)]]
+    b_blocks = [np.ones(V.dim), np.ones(Q.dim)]
+    doms = petsc.deactivate_outside_blocks(
+        blocks, [dom0, dom1], b_blocks, diagonal=2.0, rhs_value=0.0)
+    assert doms == [dom0, dom1]
+    # diagonal block keeps diag=2, off-diagonal rows are fully zeroed
+    A00 = blocks[0][0].to_dense()
+    A01 = blocks[0][1].to_dense()
+    r = int(dom0.inactive_dofs[0])
+    assert A00[r, r] == 2.0 and np.count_nonzero(np.array(A00[r])) == 1
+    assert np.count_nonzero(np.array(A01[r])) == 0
+    assert np.all(b_blocks[0][dom0.inactive_dofs] == 0.0)
+    # zero_block_rows: a block row counts as zero only across all blocks
+    zr = petsc.zero_block_rows(blocks)
+    assert len(zr) == 2
+    # rows zeroed in BOTH A00 (diag kept -> not zero) should not appear
+    assert not np.intersect1d(zr[0], dom0.inactive_dofs).size
+
+
 def test_profiling_utilities(tmp_path):
     from cutfemx_tpu.profiling import (ProfileWriter, Timer, list_timings,
                                        reset_timings, timings)
