@@ -304,9 +304,13 @@ def main():
         remaining = _BUDGET_S - elapsed
         # Proxy for cache warmth: how long the n=48 warm-up actually took.
         # Cold remote compiles run ~15x the cached replay; scale the n=108
-        # estimate accordingly (measured warm: ~60s warmup + ~210s rest).
+        # estimate accordingly. Measured r4: fully-warm n=48 warm-up
+        # ~20-40s; semi-warm (code touched since last run) ~124s with the
+        # n=108 leg still fitting comfortably (~420s total); cold ~1000s
+        # with no chance. 3x the n=48 warm-up + fixed costs tracks all
+        # three regimes.
         warm48 = _last_warmup_s if _last_warmup_s is not None else 600.0
-        need = 240.0 + max(60.0, 8.0 * warm48)
+        need = 240.0 + max(90.0, 3.0 * warm48)
         if remaining < need:
             _note(f"skipping n=108 leg: {remaining:.0f}s of budget left, "
                   f"need ~{need:.0f}s (n=48 warm-up took {warm48:.0f}s)")
