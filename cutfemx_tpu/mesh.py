@@ -218,8 +218,16 @@ class Mesh:
         ufl.CellDiameter semantics for simplices)."""
         if "hmax" not in self._cache:
             x = self.cell_vertex_coords
-            d = np.linalg.norm(x[:, :, None, :] - x[:, None, :, :], axis=-1)
-            self._cache["hmax"] = d.max(axis=(1, 2))
+            # pairwise max over the few unique vertex pairs with (NC,)-sized
+            # running state — the all-pairs (NC, nv, nv, gdim) broadcast is
+            # a multi-GB temporary at 10M-dof scale
+            nv = x.shape[1]
+            h2 = np.zeros(x.shape[0])
+            for i in range(nv):
+                for j in range(i + 1, nv):
+                    d = x[:, i] - x[:, j]
+                    np.maximum(h2, np.einsum("ij,ij->i", d, d), out=h2)
+            self._cache["hmax"] = np.sqrt(h2, out=h2)
         return self._cache["hmax"]
 
     def midpoints(self, dim=None, entities=None):

@@ -562,6 +562,8 @@ class StencilCutOperator:
         every unannotated f64 constant in the kernel chain and doubles /
         f64-emulates the assembly intermediates (16.9 GB HBM at compile
         for the n=48 bench)."""
+        import time as _time
+        _ir_t0 = _time.perf_counter()
         enable_x64 = jax.enable_x64
         with enable_x64():
             bg64 = bg.astype(jnp.float64)
@@ -580,16 +582,22 @@ class StencilCutOperator:
                 r64 = bg64
                 rho2 = bb2
             else:
+                _ap_t0 = _time.perf_counter()
                 with enable_x64():
                     r64 = bg64 - _grid_apply_jit(*self._grid_statics(),
                                                  *self._grid_arrays(),
                                                  x64)
                     rho2 = float(jnp.vdot(r64, r64).real)
+                if _CG_DEBUG:
+                    print(f"[ir] f64 apply+vdot "
+                          f"{_time.perf_counter() - _ap_t0:.3f}s",
+                          flush=True)
                 if np.isfinite(rho2) and rho2 < best_rho2:
                     best_x64, best_rho2 = x64, rho2
             if _CG_DEBUG:
                 print(f"[ir] outer {outer}: true rr={rho2:.4e} "
-                      f"tol2={tol2:.4e}", flush=True)
+                      f"tol2={tol2:.4e} t+{_time.perf_counter() - _ir_t0:.3f}s",
+                      flush=True)
             if best_rho2 <= tol2 or total_its >= maxiter or outer == 10 \
                     or not np.isfinite(rho2) or rho2 >= 0.25 * prev_rho2:
                 break
@@ -623,6 +631,8 @@ class StencilCutOperator:
         preconditioned recurrence converges to ~3e-5 then DIVERGES past
         ~200 unrestarted iterations at 10M dofs (tools/probe108b.py),
         while restarted chunks are monotone in the true residual."""
+        import time as _time
+        _cg_t0 = _time.perf_counter()
         if dispatch_chunk is None:
             # ~20s per dispatch at the measured ~16 ns per grid slot per
             # iteration — small problems solve in ONE dispatch (each
@@ -637,7 +647,8 @@ class StencilCutOperator:
         x = state[0]
         if _CG_DEBUG:
             print(f"[cg] first chunk: its={it} rr={rr_f:.4e} "
-                  f"tol2={tol2:.4e}", flush=True)
+                  f"tol2={tol2:.4e} {_time.perf_counter() - _cg_t0:.3f}s",
+                  flush=True)
         if not np.isfinite(rr_f):
             # first chunk already broke down (NaN > tol2 is False, so the
             # loop below would silently return garbage)
@@ -646,6 +657,7 @@ class StencilCutOperator:
         best_x, best_rr = x, rr_f
         while rr_f > tol2 and it < maxiter:
             cap = min(chunk, maxiter - it)
+            _ch_t0 = _time.perf_counter()
             x, rr, its_done = chunk_fn(
                 *statics, *arrays, bg, x, jnp.asarray(tol2, bg.dtype),
                 jnp.asarray(cap, jnp.int32))
@@ -653,7 +665,8 @@ class StencilCutOperator:
             it += int(its_done) + 1   # +1: the restart's fresh apply
             if _CG_DEBUG:
                 print(f"[cg] asm chunk: +{int(its_done)} its "
-                      f"rr={rr_f:.4e}", flush=True)
+                      f"rr={rr_f:.4e} {_time.perf_counter() - _ch_t0:.3f}s",
+                      flush=True)
             # f32 accuracy floor of the block preconditioner: if a chunk
             # diverges, NaNs, breaks down (rz <= 0 exits the kernel loop
             # early), or stalls at full size above tolerance, finish with
@@ -710,10 +723,18 @@ class StencilCutOperator:
 
     def _ensure_cube_asm(self):
         if getattr(self, "_asm_binv", None) is None:
+            import time as _time
+            _t0 = _time.perf_counter()
             if self._adopt_cached("asm"):
+                if _CG_DEBUG:
+                    print(f"[build] asm adopted "
+                          f"{_time.perf_counter() - _t0:.3f}s", flush=True)
                 return
             self._build_cube_asm()
             self._store_cached("asm", ("_asm_binv", "_asm_bbox"))
+            if _CG_DEBUG:
+                print(f"[build] asm built "
+                      f"{_time.perf_counter() - _t0:.3f}s", flush=True)
 
     # -- band folding: the element path as dense cube blocks -------------------
 
@@ -742,7 +763,12 @@ class StencilCutOperator:
 
     def _ensure_band_fold(self):
         if getattr(self, "_bf_diag", None) is None:
+            import time as _time
+            _t0 = _time.perf_counter()
             if self._adopt_cached("fold"):
+                if _CG_DEBUG:
+                    print(f"[build] fold adopted "
+                          f"{_time.perf_counter() - _t0:.3f}s", flush=True)
                 return
             if _os.environ.get("CUTFEMX_FOLD_CLAIM") == "sweep":
                 self._build_band_fold_sweep()
@@ -750,6 +776,9 @@ class StencilCutOperator:
                 self._build_band_fold_direct()
             self._store_cached("fold", ("_bf_diag", "_bf_fwd", "_bf_rev",
                                         "_bf_bbox", "_bf_direct"))
+            if _CG_DEBUG:
+                print(f"[build] fold built "
+                      f"{_time.perf_counter() - _t0:.3f}s", flush=True)
 
     # -- verified-reuse build cache --------------------------------------------
     #
@@ -802,6 +831,10 @@ class StencilCutOperator:
         if not entry or stage not in entry:
             return False
         if not np.array_equal(entry["fp"], self._build_inputs_fp()):
+            # the cut moved: every cached stage is stale. Drop the device
+            # tensors NOW so the rebuild below does not hold two copies of
+            # the fold/coarse blocks in HBM (tight at n=108, BENCH_NOTES).
+            entry.clear()
             return False
         for name, val in entry[stage].items():
             setattr(self, name, val)
@@ -1388,11 +1421,19 @@ class StencilCutOperator:
 
     def _ensure_coarse(self):
         if getattr(self, "_c_acinv", None) is None:
+            import time as _time
+            _t0 = _time.perf_counter()
             if self._adopt_cached("coarse"):
+                if _CG_DEBUG:
+                    print(f"[build] coarse adopted "
+                          f"{_time.perf_counter() - _t0:.3f}s", flush=True)
                 return
             self._build_coarse()
             self._store_cached("coarse", ("_c_m", "_c_K", "_c_W",
                                           "_c_sel", "_c_acinv"))
+            if _CG_DEBUG:
+                print(f"[build] coarse built "
+                      f"{_time.perf_counter() - _t0:.3f}s", flush=True)
 
     def _channel_sub(self):
         """(nch, 3) dof sub-position inside its cube per channel, in
