@@ -64,6 +64,17 @@ def _fp_arrays(arrs):
     return jnp.stack(out) if out else jnp.zeros((0, 2), jnp.int32)
 
 
+def _tree_nbytes(val):
+    """Total device bytes of a (possibly nested) stage-value pytree."""
+    if val is None or isinstance(val, (bool, int, float, str)):
+        return 0
+    if isinstance(val, (tuple, list)):
+        return sum(_tree_nbytes(v) for v in val)
+    if isinstance(val, dict):
+        return sum(_tree_nbytes(v) for v in val.values())
+    return getattr(val, "nbytes", 0)
+
+
 def _f64_available():
     """True when scoped x64 yields real float64 on this backend."""
     enable_x64 = jax.enable_x64
@@ -248,10 +259,18 @@ class StencilCutOperator:
         self.nch = nch
         self.gsize = nch * self.N ** 3
         d2g = self._dof_to_grid_host
+        # host mirrors kept alongside the device copies: the fold/ASM/
+        # coarse builds do their assignment bookkeeping on host, and
+        # re-pulling these through the HTTP tunnel costs seconds per
+        # build at bench sizes
+        self._rest_rows_grid_host = tuple(
+            d2g[np.asarray(r)] for r in rows_m)
+        self._rest_cols_grid_host = tuple(
+            d2g[np.asarray(c)] for c in cols_m)
         self.rest_rows_grid = tuple(
-            jnp.asarray(d2g[np.asarray(r)]) for r in rows_m)
+            jnp.asarray(g) for g in self._rest_rows_grid_host)
         self.rest_cols_grid = tuple(
-            jnp.asarray(d2g[np.asarray(c)]) for c in cols_m)
+            jnp.asarray(g) for g in self._rest_cols_grid_host)
         gflat = d2g[flat] if len(flat) else np.zeros(0, np.int64)
         gperm = np.argsort(gflat, kind="stable")
         self._permg = jnp.asarray(gperm.astype(np.int32))
@@ -261,9 +280,11 @@ class StencilCutOperator:
             act = np.zeros(self.gsize, bool)
             act[valid_flat] = np.asarray(domain.active_mask)[
                 self.grid_index.reshape(-1)[valid_flat]]
+            self._active_grid_host = act
             self.active_grid = jnp.asarray(act)
             self.identity_grid = jnp.asarray(valid_flat & ~act)
         else:
+            self._active_grid_host = valid_flat
             self.active_grid = jnp.asarray(valid_flat)
             self.identity_grid = jnp.asarray(np.zeros(self.gsize, bool))
 
@@ -449,7 +470,19 @@ class StencilCutOperator:
         runtime's per-dispatch limit."""
         if precond == "auto":
             on_cpu = jax.default_backend() == "cpu"
-            precond = "pallas" if (not on_cpu and self.n >= 72) else "asm"
+            # The full two-level Pallas stack wins per iteration everywhere
+            # on TPU (13.5 vs 16.6 ms/it, 87 vs 102 its at n=48) but pays
+            # seconds of per-pass preconditioner builds, so cold it only
+            # amortizes on large problems. When the verified-reuse cache
+            # can hand the builds back (fixed-cut re-solve), it wins
+            # outright at every bench size.
+            # ratchet: a repeat solve on a bitwise-identical cut adopts at
+            # least the ASM blocks; the first pallas pass then builds (and
+            # caches) the fold/coarse stages, and later passes adopt all
+            adoptable = self._cache_adoptable("asm")
+            precond = "pallas" if (not on_cpu
+                                   and (self.n >= 72 or adoptable)) \
+                else "asm"
         if precond not in ("asm", "asm-fold", "jacobi", "asm2",
                            "asm-fold2", "pallas"):
             raise ValueError(f"unknown precond {precond!r}")
@@ -806,10 +839,14 @@ class StencilCutOperator:
         return self._fp_cache
 
     def _cache_key(self):
+        # .shape is metadata — np.asarray here would MATERIALIZE every
+        # element batch to host (GBs through the HTTP tunnel per solve,
+        # and a device OOM at n=108)
         return (self.n, self.N, self.nch, tuple(self.table),
                 str(self.A_local.dtype),
                 _os.environ.get("CUTFEMX_FOLD_CLAIM", ""),
-                tuple(tuple(np.asarray(m).shape) for m in self.rest_mats))
+                tuple(tuple(int(s) for s in m.shape)
+                      for m in self.rest_mats))
 
     def _cache_entry(self, create=False):
         key = self._cache_key()
@@ -821,6 +858,17 @@ class StencilCutOperator:
         if entry is not None:
             _BUILD_CACHE.move_to_end(key)
         return entry
+
+    def _cache_adoptable(self, *stages):
+        """True when every named stage could be adopted bitwise from the
+        build cache (used by 'auto' preconditioner selection; costs one
+        fingerprint reduction, memoized per operator)."""
+        if _os.environ.get("CUTFEMX_BUILD_CACHE") == "0":
+            return False
+        entry = self._cache_entry()
+        if not entry or any(s not in entry for s in stages):
+            return False
+        return bool(np.array_equal(entry["fp"], self._build_inputs_fp()))
 
     def _adopt_cached(self, stage):
         """Adopt stage tensors from the cache iff every build input is
@@ -848,7 +896,27 @@ class StencilCutOperator:
         if "fp" in entry and not np.array_equal(entry["fp"], fp):
             entry.clear()   # inputs moved: stages must not mix origins
         entry["fp"] = fp
-        entry[stage] = {name: getattr(self, name) for name in names}
+        vals = {name: getattr(self, name) for name in names}
+        # Device-byte budget: cached tensors stay pinned in HBM across the
+        # NEXT pass's quadrature/assembly transients, which at 10M dofs run
+        # right at the chip's limit (the fold tensors alone are ~1.6 GB at
+        # n=108; pinning them OOMed the pass-1 quadrature). Skip stages
+        # that would blow the budget — rebuilding the fold costs ~1 pass
+        # over the element batches, while the small ASM-inverse/coarse
+        # stages carry most of the build time and always fit.
+        budget = float(_os.environ.get("CUTFEMX_BUILD_CACHE_MB",
+                                       "768")) * 1e6
+        used = sum(_tree_nbytes(v) for k, v in entry.items()
+                   if k not in ("fp", stage))
+        size = _tree_nbytes(vals)
+        if used + size > budget:
+            entry.pop(stage, None)
+            if _CG_DEBUG:
+                print(f"[build] cache skip {stage}: {size / 1e6:.0f} MB "
+                      f"(+{used / 1e6:.0f} used) > {budget / 1e6:.0f} MB",
+                      flush=True)
+            return
+        entry[stage] = vals
 
     def _build_band_fold_direct(self):
         """Device-side band fold: same block decomposition as
@@ -907,8 +975,8 @@ class StencilCutOperator:
         # covering bbox from per-instance position ranges (host, cheap)
         x0 = y0 = z0 = None
         x1 = y1 = z1 = 0
-        for rg in self.rest_rows_grid:
-            ch, px, py, pz = self._instance_positions(np.asarray(rg))
+        for rg in self._rest_rows_grid_host:
+            ch, px, py, pz = self._instance_positions(rg)
             lo = (int(px.min()), int(py.min()), int(pz.min()))
             hi = (int(px.max()), int(py.max()), int(pz.max()))
             if x0 is None:
@@ -946,8 +1014,8 @@ class StencilCutOperator:
         bads = []
         org = jnp.asarray(np.array([x0, y0, z0], np.int32))
         ECH = 1 << 16
-        for rg, Ae in zip(self.rest_rows_grid, self.rest_mats):
-            E, nd = np.asarray(rg).shape
+        for rg, Ae in zip(self._rest_rows_grid_host, self.rest_mats):
+            E, nd = rg.shape
             for st in range(0, E, ECH):
                 rgc = np.asarray(rg[st:st + ECH], np.int64)
                 Aec = Ae[st:st + ECH]
@@ -1010,7 +1078,7 @@ class StencilCutOperator:
         # fold jobs: list of (kind, cube_flat, elem, slots_row, slots_col,
         # entry_mask) per instance; kind 0 = diag, 1..3 fwd axis, 4..6 rev
         jobs = [[] for _ in range(7)]
-        for ii, rg in enumerate(self.rest_rows_grid):
+        for ii, rg in enumerate(self._rest_rows_grid_host):
             ch, px, py, pz = self._instance_positions(rg)
             E, nd = px.shape
             lo = np.stack([px.min(1), py.min(1), pz.min(1)], 1)
@@ -1282,7 +1350,7 @@ class StencilCutOperator:
         # where the element has >= 2 dof slots (single-slot overlaps only
         # touch the diagonal, which the exact-diagonal pass sets anyway)
         inst_pairs = []           # (cube_flat (P,), elem (P,), slots (P, nd))
-        for rg in self.rest_rows_grid:
+        for rg in self._rest_rows_grid_host:
             g = np.asarray(rg)                       # (E, nd) grid pos
             ch = g // N ** 3
             rem = g % N ** 3
@@ -1555,10 +1623,10 @@ class StencilCutOperator:
         # -- element-path fold (cut cells, Nitsche, ghost penalty,
         # leftover simplices); inactive dof rows/cols are zeroed so the
         # product matches P~^T A P~ on the active block
-        act = np.asarray(self.active_grid)
+        act = self._active_grid_host
         ECH = 1 << 15
-        for Ae, rg, cg in zip(self.rest_mats, self.rest_rows_grid,
-                              self.rest_cols_grid):
+        for Ae, rg, cg in zip(self.rest_mats, self._rest_rows_grid_host,
+                              self._rest_cols_grid_host):
             g_r = np.asarray(rg)
             g_c = np.asarray(cg)
             for st in range(0, len(g_r), ECH):
