@@ -141,6 +141,16 @@ def run_one(n, iters, solver):
     import jax
 
     _enable_compile_cache()
+    # Verified-reuse build-cache pinning budget: cached preconditioner
+    # stages stay in HBM across the next pass's assembly transients. At
+    # n=108 the chip runs at its memory edge (even +600 MB pinned OOMs the
+    # pass-1 solve), so pin only the small coarse stage there; smaller
+    # problems have headroom for everything.
+    if os.environ.get("_CUTFEMX_BENCH_SET_CACHE_MB") or \
+            "CUTFEMX_BUILD_CACHE_MB" not in os.environ:
+        os.environ["_CUTFEMX_BENCH_SET_CACHE_MB"] = "1"
+        os.environ["CUTFEMX_BUILD_CACHE_MB"] = \
+            "768" if n < 96 else "200"
 
     import cutfemx_tpu as cfx
     from cutfemx_tpu import fem
@@ -203,13 +213,18 @@ def run_one(n, iters, solver):
             except OSError as e:
                 _note(f"n={n}: host cache save failed: {e}")
 
+    dbg = os.environ.get("CUTFEMX_CG_DEBUG")
+
     def pipeline():
         """One full moving-domain step: classify -> quadrature -> forms ->
         assemble -> solve. Everything here re-runs when phi moves."""
+        t_p0 = time.perf_counter()
         cd = cfx.cut(phi)
         inside = cfx.locate_entities(cd, "phi<0")
+        t_p1 = time.perf_counter()
         vol = cfx.runtime_quadrature(cd, "phi<0", 2 * deg)
         srf = cfx.runtime_quadrature(cd, "phi=0", 2 * deg)
+        t_p2 = time.perf_counter()
         gp = cfx.ghost_penalty_facets(cd, "phi<0")
         dxo = Measure("dx", domain=mesh, subdomain_data=[inside, vol])
         dxg = Measure("dx", domain=mesh, subdomain_data=srf)
@@ -228,10 +243,16 @@ def run_one(n, iters, solver):
                                   jump(grad(v), nf)) * dSg
         L = f * v * dxo + (-dot(grad(v), ng) * ue
                            + gamma / h * ue * v) * dxg
+        t_p3 = time.perf_counter()
         af = fem.form(a, dtype=np.float32)
         Lf = fem.form(L, dtype=np.float32)
         dom = fem.active_domain(af)
         b = fem.assemble_vector(Lf)
+        t_p4 = time.perf_counter()
+        if dbg:
+            print(f"[pipe] cut+locate {t_p1 - t_p0:.2f}s quad "
+                  f"{t_p2 - t_p1:.2f}s gp+measures {t_p3 - t_p2:.2f}s "
+                  f"forms+vec {t_p4 - t_p3:.2f}s", flush=True)
         if solver == "mg":
             from cutfemx_tpu import mg
             A = fem.assemble_matrix(af)
@@ -248,6 +269,9 @@ def run_one(n, iters, solver):
                 op = StencilCutOperator(af, dom)
             except (NotImplementedError, ValueError):
                 op = fem.CutOperator(af, dom)  # unstructured fallback
+            if dbg:
+                print(f"[pipe] op ctor {time.perf_counter() - t_p4:.2f}s",
+                      flush=True)
         else:
             op = fem.CutOperator(af, dom)
         t_mid = time.perf_counter()
@@ -320,6 +344,61 @@ def run_one(n, iters, solver):
     return result
 
 
+def _run_leg(n, timeout_s):
+    """Run one resolution in a CHILD process and stream its output.
+
+    Process isolation between the two legs is REQUIRED, not cosmetic:
+    the n=48 leg's device allocations (pinned build-cache stages,
+    kernel-cache constants, live grid arrays) otherwise survive into the
+    n=108 warm-up and OOM the chip (measured: the combined in-process
+    flow dies RESOURCE_EXHAUSTED at the n=108 operator build, while the
+    standalone n=108 run fits with ~28s passes). A child tears down its
+    TPU client on exit, releasing every device buffer; the persistent
+    compile cache + host-setup cache keep the re-import cheap.
+
+    Returns (returncode, warmup_seconds_or_None). Child stdout (the JSON
+    rows) and stderr (progress stamps) are forwarded live."""
+    import re
+    import subprocess
+    env = dict(os.environ, CUTFEMX_BENCH_N=str(n))
+    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True, bufsize=1)
+    warm = [None]
+
+    def pump_err():
+        for line in p.stderr:
+            m = re.search(r"warm-up done \(([0-9.]+)s\)", line)
+            if m:
+                warm[0] = float(m.group(1))
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    def pump_out():
+        for line in p.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+
+    terr = threading.Thread(target=pump_err, daemon=True)
+    tout = threading.Thread(target=pump_out, daemon=True)
+    terr.start()
+    tout.start()
+    try:
+        rc = p.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _note(f"n={n} leg exceeded {timeout_s:.0f}s; terminating it "
+              "(earlier rows already printed stand)")
+        p.terminate()
+        try:
+            p.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+        rc = 124
+    terr.join(timeout=5)
+    tout.join(timeout=5)
+    return rc, warm[0]
+
+
 def main():
     iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "500"))
     solver = os.environ.get("CUTFEMX_BENCH_SOLVER", "stencil")
@@ -329,14 +408,21 @@ def main():
         return
     # Default driver flow: the n=48 row first (fast, always lands), then
     # the 10.2M-dof headline row (BASELINE.json's driver-defined metric)
-    # printed LAST so the driver parses it. CUTFEMX_BENCH_HEADLINE=0
-    # restores the short run.
-    run_one(48, iters, solver)
+    # printed LAST so the driver parses it. Each leg runs in its own
+    # process (see _run_leg). CUTFEMX_BENCH_HEADLINE=0 restores the
+    # short run; CUTFEMX_BENCH_LEGS="a,b" overrides the resolutions
+    # (testing hook).
+    legs = [int(s) for s in
+            os.environ.get("CUTFEMX_BENCH_LEGS", "48,108").split(",")]
+    rc48, warm48 = _run_leg(legs[0], _BUDGET_S)
+    if rc48 != 0:
+        _note(f"n={legs[0]} leg exited rc={rc48}")
     if os.environ.get("CUTFEMX_BENCH_HEADLINE", "1") != "0":
-        # Budget check: the n=108 leg needs prefault (~30 s) + host setup +
-        # warm-up + two timed passes. With a warm compile cache that is
-        # ~4-6 min; without one (first run on a fresh machine) it will not
-        # fit and the n=48 row above is the round's insurance number.
+        # Budget check: the n=108 leg needs prefault (~40 s) + host setup
+        # (~45 s cached) + warm-up + two timed passes. With a warm compile
+        # cache that is ~4-6 min; without one (first run on a fresh
+        # machine) it will not fit and the n=48 row above is the round's
+        # insurance number.
         elapsed = time.perf_counter() - _T0
         remaining = _BUDGET_S - elapsed
         # Proxy for cache warmth: how long the n=48 warm-up actually took.
@@ -346,13 +432,15 @@ def main():
         # n=108 leg still fitting comfortably (~420s total); cold ~1000s
         # with no chance. 3x the n=48 warm-up + fixed costs tracks all
         # three regimes.
-        warm48 = _last_warmup_s if _last_warmup_s is not None else 600.0
+        if warm48 is None:
+            warm48 = 600.0
         need = 240.0 + max(90.0, 3.0 * warm48)
         if remaining < need:
-            _note(f"skipping n=108 leg: {remaining:.0f}s of budget left, "
-                  f"need ~{need:.0f}s (n=48 warm-up took {warm48:.0f}s)")
+            _note(f"skipping n={legs[1]} leg: {remaining:.0f}s of budget "
+                  f"left, need ~{need:.0f}s (n={legs[0]} warm-up took "
+                  f"{warm48:.0f}s)")
             return
-        run_one(108, iters, solver)
+        _run_leg(legs[1], remaining + 60.0)
 
 
 if __name__ == "__main__":

@@ -240,13 +240,15 @@ class StencilCutOperator:
         mats_m, rows_m, cols_m = _build_apply_arrays(mats, rows, cols,
                                                      itypes)
         self.rest_mats = tuple(jnp.asarray(m) for m in mats_m)
-        self.rest_rows = tuple(jnp.asarray(r) for r in rows_m)
-        self.rest_cols = tuple(jnp.asarray(c) for c in cols_m)
+        # dof-layout apply arrays (used only by diagonal()/the vector
+        # apply, never by the grid solve) are built lazily: their argsort
+        # over every gathered entry + device uploads cost ~1 s per ctor at
+        # n=48 and scale with the band
+        self._rows_m_host = tuple(rows_m)
+        self._cols_m_host = tuple(cols_m)
+        self._dof_apply_arrays = None
         flat = np.concatenate([np.asarray(r).ravel() for r in rows_m]) if \
             rows_m else np.zeros(0, np.int64)
-        perm = np.argsort(flat, kind="stable")
-        self._perm = jnp.asarray(perm.astype(np.int32))
-        self._sorted = jnp.asarray(flat[perm].astype(np.int32))
 
         self.active = (jnp.asarray(domain.active_mask)
                        if domain is not None else None)
@@ -287,6 +289,38 @@ class StencilCutOperator:
             self._active_grid_host = valid_flat
             self.active_grid = jnp.asarray(valid_flat)
             self.identity_grid = jnp.asarray(np.zeros(self.gsize, bool))
+
+    def _ensure_dof_apply(self):
+        if self._dof_apply_arrays is None:
+            flat = np.concatenate(
+                [np.asarray(r).ravel() for r in self._rows_m_host]) if \
+                self._rows_m_host else np.zeros(0, np.int64)
+            perm = np.argsort(flat, kind="stable")
+            self._dof_apply_arrays = (
+                tuple(jnp.asarray(r) for r in self._rows_m_host),
+                tuple(jnp.asarray(c) for c in self._cols_m_host),
+                jnp.asarray(perm.astype(np.int32)),
+                jnp.asarray(flat[perm].astype(np.int32)))
+
+    @property
+    def rest_rows(self):
+        self._ensure_dof_apply()
+        return self._dof_apply_arrays[0]
+
+    @property
+    def rest_cols(self):
+        self._ensure_dof_apply()
+        return self._dof_apply_arrays[1]
+
+    @property
+    def _perm(self):
+        self._ensure_dof_apply()
+        return self._dof_apply_arrays[2]
+
+    @property
+    def _sorted(self):
+        self._ensure_dof_apply()
+        return self._dof_apply_arrays[3]
 
     # -- grid-layout conversions ---------------------------------------------
 
@@ -486,14 +520,15 @@ class StencilCutOperator:
         if precond not in ("asm", "asm-fold", "jacobi", "asm2",
                            "asm-fold2", "pallas"):
             raise ValueError(f"unknown precond {precond!r}")
-        bb = jnp.where(self.active, jnp.asarray(b), 0.0) \
-            if self.active is not None else jnp.asarray(b)
-        bg = self.vec_to_grid(bb)
+        b = jnp.asarray(b)
         if refine is True or (refine == "auto"
-                              and bg.dtype == jnp.float32
+                              and b.dtype == jnp.float32
                               and _f64_available()):
-            return self._solve_ir(bg, rtol, maxiter, precond,
+            return self._solve_ir(b, rtol, maxiter, precond,
                                   dispatch_chunk)
+        bb = jnp.where(self.active, b, 0.0) \
+            if self.active is not None else b
+        bg = self.vec_to_grid(bb)
         if precond == "jacobi":
             # single-dispatch Jacobi PCG: trajectory-compatible with
             # CutOperator.solve_cg (like-preconditioned comparisons stay
@@ -576,7 +611,7 @@ class StencilCutOperator:
                                 statics, arrays, bg, rtol, maxiter,
                                 dispatch_chunk)
 
-    def _solve_ir(self, bg, rtol, maxiter, precond, dispatch_chunk):
+    def _solve_ir(self, b, rtol, maxiter, precond, dispatch_chunk):
         """Mixed-precision iterative refinement around the f32 solver.
 
         The f32 APPLY has an absolute rounding floor of roughly
@@ -599,8 +634,10 @@ class StencilCutOperator:
         _ir_t0 = _time.perf_counter()
         enable_x64 = jax.enable_x64
         with enable_x64():
-            bg64 = bg.astype(jnp.float64)
-            bb2 = float(jnp.vdot(bg64, bg64).real)
+            act = self.active if self.active is not None else True
+            bg, bg64, bb2d = _ir_prep(act, self.grid_valid,
+                                      self.grid_gather, b)
+            bb2 = float(bb2d)
         tol2 = rtol * rtol * bb2
         x64 = None
         best_x64, best_rho2 = None, bb2   # x = 0 has residual ||b||^2
@@ -612,15 +649,15 @@ class StencilCutOperator:
         # extra 11th trip exists only to measure the 10th correction
         for outer in range(11):
             if outer == 0:
-                r64 = bg64
+                r32 = bg
                 rho2 = bb2
             else:
                 _ap_t0 = _time.perf_counter()
                 with enable_x64():
-                    r64 = bg64 - _grid_apply_jit(*self._grid_statics(),
-                                                 *self._grid_arrays(),
-                                                 x64)
-                    rho2 = float(jnp.vdot(r64, r64).real)
+                    r32, rho2d = _ir_measure(*self._grid_statics(),
+                                             *self._grid_arrays(),
+                                             bg64, x64)
+                    rho2 = float(rho2d)
                 if _CG_DEBUG:
                     print(f"[ir] f64 apply+vdot "
                           f"{_time.perf_counter() - _ap_t0:.3f}s",
@@ -635,8 +672,6 @@ class StencilCutOperator:
                     or not np.isfinite(rho2) or rho2 >= 0.25 * prev_rho2:
                 break
             prev_rho2 = rho2
-            with enable_x64():
-                r32 = r64.astype(jnp.float32)
             # the last outer step should target the global tolerance
             # directly (padded), not over-solve a fixed 1e-3 below the
             # current residual into the inner f32 floor
@@ -646,13 +681,13 @@ class StencilCutOperator:
                 dispatch_chunk)
             total_its += int(its) + 1   # +1 for the outer f64 apply
             with enable_x64():
-                e64 = eg.astype(jnp.float64)
-                x64 = e64 if x64 is None else x64 + e64
+                x64 = _ir_cast64(eg) if x64 is None \
+                    else _ir_accum(x64, eg)
         if best_x64 is None:
             xf = jnp.zeros_like(bg[self.dof_to_grid])
         else:
             with enable_x64():
-                xf = best_x64[self.dof_to_grid].astype(jnp.float32)
+                xf = _ir_final(best_x64, self.dof_to_grid)
         return xf, total_its, np.sqrt(best_rho2)
 
     def _chunked_cg(self, first_fn, chunk_fn, statics, arrays, bg, rtol,
@@ -2519,3 +2554,45 @@ def _stencil_apply(op, x):
     Xf = op.vec_to_grid(x)
     Yf = _grid_apply_jit(*op._grid_statics(), *op._grid_arrays(), Xf)
     return op.grid_to_vec(Yf)
+
+
+# -- fused iterative-refinement dispatches ------------------------------------
+# Each outer IR step used to issue 5-7 eager ops (mask, gather, casts,
+# subtract, vdot, accumulate); on the remote TPU every eager op is an RPC
+# round trip (~0.1 s each, measured: outer-0 pre-work alone 0.9 s at n=48).
+# Fusing each logical step into ONE jitted dispatch makes the IR overhead
+# per outer step a single round trip + the f64 apply. All four must be
+# CALLED inside jax.enable_x64() (trace-time dtype semantics).
+
+@jax.jit
+def _ir_prep(active, grid_valid, grid_gather, b):
+    """dof rhs -> (f32 grid rhs, f64 grid rhs, ||b||^2) in one dispatch."""
+    bb = jnp.where(active, b, 0.0)
+    X = jnp.where(grid_valid, bb[grid_gather], 0.0).reshape(-1)
+    X64 = X.astype(jnp.float64)
+    return X, X64, jnp.vdot(X64, X64).real
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _ir_measure(*a):
+    """One f64 true-residual measurement: r = b64 - A x64, returns the
+    f32 copy for the inner corrector and ||r||^2."""
+    bg64, x64 = a[-2], a[-1]
+    r64 = bg64 - _grid_apply_body(*a[:-2], x64)
+    return r64.astype(jnp.float32), jnp.vdot(r64, r64).real
+
+
+@jax.jit
+def _ir_cast64(eg):
+    return eg.astype(jnp.float64)
+
+
+@jax.jit
+def _ir_accum(x64, eg):
+    # no donation: best_x64 in _solve_ir aliases x64 between outer steps
+    return x64 + eg.astype(jnp.float64)
+
+
+@jax.jit
+def _ir_final(x64, dof_to_grid):
+    return x64[dof_to_grid].astype(jnp.float32)
