@@ -126,6 +126,8 @@ class StencilCutOperator:
     """
 
     def __init__(self, form, domain=None):
+        import time as _time
+        _ct0 = _time.perf_counter()
         from .fem import CutOperator
         V = form.test_space
         mesh = V.mesh
@@ -202,8 +204,24 @@ class StencilCutOperator:
                     A_local[la, lb] += Ae6[t, a_, b_]
         self.A_local = jnp.asarray(A_local, form.dtype)
 
-        # dof -> (channel, lattice coords) grids
-        self._build_grid_maps(V, mesh, lo, h_axes)
+        # dof -> (channel, lattice coords) grids. These depend only on
+        # (V, mesh) — NOT on the level set — so they are cached on the
+        # function space: a moving-domain step re-cuts and re-assembles
+        # but reuses the lattice maps (at n=108 rebuilding them costs
+        # seconds of host argwhere/scatter per pass).
+        gm_key = (self.n, self.degree, lo.tobytes(), h_axes.tobytes())
+        gm = getattr(V, "_stencil_grid_cache", None)
+        if gm is not None and gm[0] == gm_key:
+            (self.grid_index, self._grid_valid_host, self.grid_valid,
+             self.grid_gather, self._dof_to_grid_host, self.dof_to_grid,
+             self.N) = gm[1]
+        else:
+            self._build_grid_maps(V, mesh, lo, h_axes)
+            V._stencil_grid_cache = (gm_key, (
+                self.grid_index, self._grid_valid_host, self.grid_valid,
+                self.grid_gather, self._dof_to_grid_host, self.dof_to_grid,
+                self.N))
+        _ct1 = _time.perf_counter()
 
         # element path: all other instances + leftover standard cells,
         # run through the same merge + interior-facet dof compression as
@@ -213,6 +231,7 @@ class StencilCutOperator:
         # element data only: the merged full-operator apply plan (a ~1 s
         # argsort over every gathered element at bench sizes) is never used
         op_rest = CutOperator(form, domain, apply_plan=False)
+        _ct2 = _time.perf_counter()
         mats, rows, cols, itypes = [], [], [], []
         for i, inst in enumerate(form.instances):
             Ae = op_rest.element_matrices[i]
@@ -289,6 +308,11 @@ class StencilCutOperator:
             self._active_grid_host = valid_flat
             self.active_grid = jnp.asarray(valid_flat)
             self.identity_grid = jnp.asarray(np.zeros(self.gsize, bool))
+        if _CG_DEBUG:
+            _ct3 = _time.perf_counter()
+            print(f"[ctor] lattice+maps {_ct1 - _ct0:.2f}s elements "
+                  f"{_ct2 - _ct1:.2f}s grid-arrays {_ct3 - _ct2:.2f}s",
+                  flush=True)
 
     def _ensure_dof_apply(self):
         if self._dof_apply_arrays is None:
