@@ -747,3 +747,130 @@ class LevelSetAdvectionSolver:
             return self.advect_characteristics(phi, extension.velocity,
                                                dt)
         raise ValueError(f"unknown advection method {method!r}")
+
+
+# -- checkpoint / resume ---------------------------------------------------
+# The reference's optimization demo persists per-iteration CSV/plot rows
+# only and cannot resume an interrupted run (reference
+# demo_compliance_optimization.py:307-379; SURVEY §5). Here the complete
+# optimizer state — design (level-set dofs), L-BFGS pair history, ALM
+# multipliers, BB step memory — is plain NumPy data, so a restartable
+# checkpoint is one atomic .npz file.
+
+
+def save_checkpoint(path, *, iteration: int, phi=None,
+                    lbfgs: LBFGSState | None = None,
+                    alm: AugmentedLagrangianState | None = None,
+                    step: AdaptiveGradientStepState | None = None,
+                    dt: float | None = None,
+                    scalars: dict | None = None) -> None:
+    """Write an atomic optimizer checkpoint.
+
+    ``phi`` may be a Function (its dof values are stored) or an array.
+    ``scalars`` is an optional flat dict of float/int/str metadata
+    (e.g. best objective so far). The file is written to a sibling tmp
+    path then renamed, so a crash mid-write never corrupts the previous
+    checkpoint."""
+    import json as _json
+    import os as _os
+
+    payload: dict = {"iteration": np.int64(iteration),
+                     "version": np.int64(1)}
+    if phi is not None:
+        vals = getattr(phi, "x", phi)
+        payload["phi"] = np.asarray(vals)
+    if dt is not None:
+        payload["dt"] = np.float64(dt)
+    if lbfgs is not None:
+        k = len(lbfgs.s_vectors)
+        if k:
+            payload["lbfgs_s"] = np.stack(
+                [np.asarray(s, float) for s in lbfgs.s_vectors])
+            payload["lbfgs_y"] = np.stack(
+                [np.asarray(y, float) for y in lbfgs.y_vectors])
+            payload["lbfgs_rho"] = np.asarray(lbfgs.rho_values, float)
+        if lbfgs.previous_x is not None:
+            payload["lbfgs_prev_x"] = np.asarray(lbfgs.previous_x, float)
+        if lbfgs.previous_gradient is not None:
+            payload["lbfgs_prev_g"] = np.asarray(lbfgs.previous_gradient,
+                                                 float)
+        payload["lbfgs_meta"] = np.asarray(
+            [float(lbfgs.last_curvature),
+             1.0 if lbfgs.last_update_accepted else 0.0])
+    if alm is not None:
+        payload["alm"] = np.asarray(
+            [alm.lagrange_multiplier, alm.penalty, alm.penalty_multiplier,
+             alm.penalty_limit, alm.slack], float)
+    if step is not None:
+        if step.previous_phi is not None:
+            payload["step_prev_phi"] = np.asarray(step.previous_phi, float)
+        if step.previous_gradient is not None:
+            payload["step_prev_g"] = np.asarray(step.previous_gradient,
+                                                float)
+        payload["step_dt"] = np.float64(step.accepted_dt)
+    if scalars:
+        payload["scalars_json"] = np.frombuffer(
+            _json.dumps(scalars).encode(), dtype=np.uint8).copy()
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, path)
+
+
+def load_checkpoint(path, *, phi=None) -> dict:
+    """Read a checkpoint written by :func:`save_checkpoint`.
+
+    Returns a dict with keys ``iteration``, and (when present in the
+    file) ``phi`` (ndarray), ``dt``, ``lbfgs`` (LBFGSState), ``alm``
+    (AugmentedLagrangianState), ``step`` (AdaptiveGradientStepState),
+    ``scalars`` (dict). If ``phi`` (a Function) is passed, its dof
+    values are restored in place."""
+    import json as _json
+
+    with np.load(path, allow_pickle=False) as z:
+        out: dict = {"iteration": int(z["iteration"])}
+        if "phi" in z:
+            out["phi"] = np.asarray(z["phi"])
+            if phi is not None:
+                target = np.asarray(phi.x)
+                if target.shape != out["phi"].shape:
+                    raise ValueError(
+                        f"checkpoint phi has shape {out['phi'].shape}, "
+                        f"target Function has {target.shape}")
+                phi.x = jnp.asarray(out["phi"], dtype=target.dtype)
+        if "dt" in z:
+            out["dt"] = float(z["dt"])
+        if "lbfgs_meta" in z:
+            st = LBFGSState()
+            if "lbfgs_s" in z:
+                st.s_vectors = [np.asarray(s) for s in z["lbfgs_s"]]
+                st.y_vectors = [np.asarray(y) for y in z["lbfgs_y"]]
+                st.rho_values = [float(r) for r in z["lbfgs_rho"]]
+            if "lbfgs_prev_x" in z:
+                st.previous_x = np.asarray(z["lbfgs_prev_x"])
+            if "lbfgs_prev_g" in z:
+                st.previous_gradient = np.asarray(z["lbfgs_prev_g"])
+            st.last_curvature = float(z["lbfgs_meta"][0])
+            st.last_update_accepted = bool(z["lbfgs_meta"][1] > 0.5)
+            out["lbfgs"] = st
+        if "alm" in z:
+            a = z["alm"]
+            out["alm"] = AugmentedLagrangianState(
+                lagrange_multiplier=float(a[0]), penalty=float(a[1]),
+                penalty_multiplier=float(a[2]), penalty_limit=float(a[3]),
+                slack=float(a[4]))
+        if "step_dt" in z:
+            sp = AdaptiveGradientStepState(accepted_dt=float(z["step_dt"]))
+            if "step_prev_phi" in z:
+                sp.previous_phi = np.asarray(z["step_prev_phi"])
+            if "step_prev_g" in z:
+                sp.previous_gradient = np.asarray(z["step_prev_g"])
+            out["step"] = sp
+        if "scalars_json" in z:
+            out["scalars"] = _json.loads(bytes(z["scalars_json"]).decode())
+    return out

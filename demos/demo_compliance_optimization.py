@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--reinit-volume-correction-limit", type=float,
                    default=0.0)
     p.add_argument("--remove-floating-every", type=int, default=5)
+    p.add_argument("--checkpoint", default=None,
+                   help="npz path for restartable optimizer checkpoints")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
     p.add_argument("--output-dir", default=None,
                    help="write profile.csv/convergence.csv here")
     p.add_argument("--quiet", action="store_true")
@@ -174,9 +179,26 @@ def run_optimization(args) -> dict:
     step = opt.AdaptiveGradientStepState()
     dt = args.motion_cfl * h  # first-step guess, refined by BB
 
+    start_it = 0
+    resumed = False
+    if args.resume and args.checkpoint:
+        import os
+        if os.path.exists(args.checkpoint):
+            ck = opt.load_checkpoint(args.checkpoint, phi=phi)
+            start_it = ck["iteration"]
+            lbfgs = ck.get("lbfgs", lbfgs)
+            alm = ck.get("alm", alm)
+            step = ck.get("step", step)
+            dt = ck.get("dt", dt)
+            resumed = True
+            if not args.quiet:
+                print(f"resumed from {args.checkpoint} at iteration "
+                      f"{start_it}")
+
     state = evaluate_state(phi)
-    opt.initialise_augmented_lagrangian_scale(
-        alm, state["compliance"], state["volume"] - args.target_volume)
+    if not resumed:
+        opt.initialise_augmented_lagrangian_scale(
+            alm, state["compliance"], state["volume"] - args.target_volume)
 
     history = []
     profile_rows = []
@@ -194,7 +216,7 @@ def run_optimization(args) -> dict:
               f"{'L':>12s} {'dt':>9s} {'bt':>2s} {'pairs':>5s}")
 
     try:
-        for it in range(args.iters):
+        for it in range(start_it, args.iters):
             row = {"iteration": it, "state_solves": 0}
             conv = {"iteration": it}
             t_total0 = time.perf_counter()
@@ -323,6 +345,14 @@ def run_optimization(args) -> dict:
             if writers_ctx:
                 writers_ctx[0].write(row)
                 writers_ctx[1].write(conv)
+            if args.checkpoint and \
+                    (it + 1) % max(args.checkpoint_every, 1) == 0:
+                opt.save_checkpoint(
+                    args.checkpoint, iteration=it + 1, phi=phi,
+                    lbfgs=lbfgs if args.optimizer == "lbfgs" else None,
+                    alm=alm, step=step, dt=dt,
+                    scalars={"compliance": state["compliance"],
+                             "volume": state["volume"]})
             if not args.quiet:
                 print(f"{it:3d} {state['compliance']:12.5e} "
                       f"{state['volume']:8.4f} {conv['lagrangian']:12.5e} "

@@ -328,3 +328,103 @@ def test_advect_dispatch():
         solver.advect(phi.copy(), ext, 0.01, method=m)
     with pytest.raises(ValueError):
         solver.advect(phi, ext, 0.01, method="bogus")
+
+
+# -- checkpoint / resume ----------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint restore every optimizer field
+    bit-exactly (atomic npz; beyond the reference, whose optimization
+    demo cannot resume — SURVEY §5)."""
+    rng = np.random.default_rng(3)
+    mesh = cfx.mesh.create_rectangle((0.0, 0.0), (1.0, 1.0), (4, 4))
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    phi = cfx.Function(V, name="phi")
+    phi.x = jnp.asarray(rng.normal(size=V.dim), phi.x.dtype)
+
+    lb = opt.LBFGSState()
+    for _ in range(3):
+        opt.lbfgs_update(lb, rng.normal(size=7), rng.normal(size=7),
+                         memory=5)
+    alm = opt.AugmentedLagrangianState(
+        lagrange_multiplier=2.5, penalty=7.0, penalty_multiplier=1.2,
+        penalty_limit=100.0, slack=0.1)
+    st = opt.AdaptiveGradientStepState(
+        previous_phi=rng.normal(size=9),
+        previous_gradient=rng.normal(size=9), accepted_dt=0.037)
+
+    path = tmp_path / "ck.npz"
+    opt.save_checkpoint(path, iteration=11, phi=phi, lbfgs=lb, alm=alm,
+                        step=st, dt=0.02,
+                        scalars={"best": 1.5, "tag": "run-a"})
+
+    phi2 = cfx.Function(V, name="phi")
+    ck = opt.load_checkpoint(path, phi=phi2)
+    assert ck["iteration"] == 11
+    assert ck["dt"] == 0.02
+    assert ck["scalars"] == {"best": 1.5, "tag": "run-a"}
+    np.testing.assert_array_equal(np.asarray(phi2.x), np.asarray(phi.x))
+    lb2 = ck["lbfgs"]
+    assert len(lb2.s_vectors) == len(lb.s_vectors)
+    for a, b in zip(lb.s_vectors + lb.y_vectors,
+                    lb2.s_vectors + lb2.y_vectors):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(lb2.rho_values, lb.rho_values)
+    np.testing.assert_array_equal(lb2.previous_x, lb.previous_x)
+    assert lb2.last_update_accepted == lb.last_update_accepted
+    a2 = ck["alm"]
+    assert (a2.lagrange_multiplier, a2.penalty, a2.penalty_multiplier,
+            a2.penalty_limit, a2.slack) == (2.5, 7.0, 1.2, 100.0, 0.1)
+    st2 = ck["step"]
+    np.testing.assert_array_equal(st2.previous_phi, st.previous_phi)
+    np.testing.assert_array_equal(st2.previous_gradient,
+                                  st.previous_gradient)
+    assert st2.accepted_dt == st.accepted_dt
+
+
+def test_checkpoint_partial_states(tmp_path):
+    """Fields not passed to save are absent from the load result; an
+    empty L-BFGS history round-trips; shape-mismatched phi raises."""
+    path = tmp_path / "ck.npz"
+    opt.save_checkpoint(path, iteration=0, lbfgs=opt.LBFGSState())
+    ck = opt.load_checkpoint(path)
+    assert ck["iteration"] == 0
+    assert "alm" not in ck and "step" not in ck and "phi" not in ck
+    assert len(ck["lbfgs"].s_vectors) == 0
+    assert ck["lbfgs"].previous_x is None
+
+    opt.save_checkpoint(path, iteration=1, phi=np.zeros(5))
+    mesh = cfx.mesh.create_rectangle((0.0, 0.0), (1.0, 1.0), (3, 3))
+    V = cfx.functionspace(mesh, ("Lagrange", 1))
+    wrong = cfx.Function(V)
+    with pytest.raises(ValueError, match="shape"):
+        opt.load_checkpoint(path, phi=wrong)
+
+
+def test_compliance_demo_resume_matches_straight_run(tmp_path):
+    """Interrupt-and-resume reproduces the uninterrupted optimization
+    trajectory exactly: 3 straight iterations vs 2 + checkpoint + 1
+    resumed give the same final compliance/volume."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "demo_compliance_optimization",
+        "demos/demo_compliance_optimization.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = ["--n", "8", "--optimizer", "lbfgs", "--quiet",
+            "--reinit-every", "2", "--remove-floating-every", "0"]
+    straight = mod.run_optimization(mod.parse_args(base + ["--iters", "3"]))
+
+    ck = str(tmp_path / "ck.npz")
+    mod.run_optimization(mod.parse_args(
+        base + ["--iters", "2", "--checkpoint", ck]))
+    resumed = mod.run_optimization(mod.parse_args(
+        base + ["--iters", "3", "--checkpoint", ck, "--resume"]))
+
+    assert resumed["history"][-1]["iteration"] == 2
+    np.testing.assert_allclose(resumed["final_compliance"],
+                               straight["final_compliance"], rtol=1e-9)
+    np.testing.assert_allclose(resumed["final_volume"],
+                               straight["final_volume"], rtol=1e-9)
