@@ -27,6 +27,23 @@ if not _os.environ.get("CUTFEMX_FAST_MATMUL"):
 if _os.environ.get("CUTFEMX_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["CUTFEMX_PLATFORM"])
 
+# Persistent XLA compilation cache: remote TPU compiles through the tunnel
+# backend cost minutes per program, and entries verified to round-trip
+# (fresh-process compile 2.3 s -> 0.25 s replay). Enabling it at import
+# makes every consumer — bench.py, the driver's entry()/demo runs, user
+# scripts — share one on-disk cache next to the package. Opt out with
+# CUTFEMX_NO_COMPILE_CACHE=1 or point elsewhere via CUTFEMX_COMPILE_CACHE.
+if not _os.environ.get("CUTFEMX_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "CUTFEMX_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without the knob: run uncached
+        pass
+
 from . import _hostmem  # noqa: F401  (glibc heap tuning; must run early)
 from . import la  # noqa: F401
 from . import mesh  # noqa: F401
