@@ -33,7 +33,13 @@ if _os.environ.get("CUTFEMX_PLATFORM"):
 # makes every consumer — bench.py, the driver's entry()/demo runs, user
 # scripts — share one on-disk cache next to the package. Opt out with
 # CUTFEMX_NO_COMPILE_CACHE=1 or point elsewhere via CUTFEMX_COMPILE_CACHE.
-if not _os.environ.get("CUTFEMX_NO_COMPILE_CACHE"):
+# CPU runs are excluded: XLA:CPU AOT cache entries pin compile-machine
+# features and warn (or SIGILL) when replayed on a different host, and CPU
+# compiles are cheap anyway — tests/dryruns set jax_platforms=cpu before
+# importing this package, which is what the guard reads.
+if not _os.environ.get("CUTFEMX_NO_COMPILE_CACHE") \
+        and _jax.config.jax_platforms != "cpu" \
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
     _cache_dir = _os.environ.get(
         "CUTFEMX_COMPILE_CACHE",
         _os.path.join(_os.path.dirname(_os.path.dirname(
