@@ -47,8 +47,14 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _enable_compile_cache():
+    # Honors the same env opt-outs as the package's import-time setup
+    # (cutfemx_tpu/__init__.py): CUTFEMX_NO_COMPILE_CACHE disables,
+    # CUTFEMX_COMPILE_CACHE redirects; the repo-local dir is the default.
+    if os.environ.get("CUTFEMX_NO_COMPILE_CACHE"):
+        return
     import jax
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("CUTFEMX_COMPILE_CACHE", _CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
@@ -356,8 +362,9 @@ def _run_leg(n, timeout_s):
     TPU client on exit, releasing every device buffer; the persistent
     compile cache + host-setup cache keep the re-import cheap.
 
-    Returns (returncode, warmup_seconds_or_None). Child stdout (the JSON
-    rows) and stderr (progress stamps) are forwarded live."""
+    Returns (returncode, warmup_seconds_or_None, last_json_row_or_None).
+    Child stdout (the JSON rows) and stderr (progress stamps) are
+    forwarded live."""
     import re
     import subprocess
     env = dict(os.environ, CUTFEMX_BENCH_N=str(n))
@@ -365,6 +372,7 @@ def _run_leg(n, timeout_s):
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True, bufsize=1)
     warm = [None]
+    last_row = [None]
 
     def pump_err():
         for line in p.stderr:
@@ -376,6 +384,10 @@ def _run_leg(n, timeout_s):
 
     def pump_out():
         for line in p.stdout:
+            try:
+                last_row[0] = json.loads(line)
+            except ValueError:
+                pass
             sys.stdout.write(line)
             sys.stdout.flush()
 
@@ -396,7 +408,7 @@ def _run_leg(n, timeout_s):
         rc = 124
     terr.join(timeout=5)
     tout.join(timeout=5)
-    return rc, warm[0]
+    return rc, warm[0], last_row[0]
 
 
 def main():
@@ -414,7 +426,7 @@ def main():
     # (testing hook).
     legs = [int(s) for s in
             os.environ.get("CUTFEMX_BENCH_LEGS", "48,108").split(",")]
-    rc48, warm48 = _run_leg(legs[0], _BUDGET_S)
+    rc48, warm48, row48 = _run_leg(legs[0], _BUDGET_S)
     if rc48 != 0:
         _note(f"n={legs[0]} leg exited rc={rc48}")
     if os.environ.get("CUTFEMX_BENCH_HEADLINE", "1") != "0":
@@ -439,8 +451,25 @@ def main():
             _note(f"skipping n={legs[1]} leg: {remaining:.0f}s of budget "
                   f"left, need ~{need:.0f}s (n={legs[0]} warm-up took "
                   f"{warm48:.0f}s)")
+            # Self-describing failure mode: re-emit the insurance row with
+            # the skip recorded, so the driver artifact (which keeps the
+            # last JSON line) says WHY the headline scale is absent.
+            if row48 is not None:
+                row48 = dict(row48, skipped_legs=legs[1:],
+                             skip_reason=(f"budget: {remaining:.0f}s left, "
+                                          f"need ~{need:.0f}s (n={legs[0]} "
+                                          f"warm-up {warm48:.0f}s)"))
+                print(json.dumps(row48), flush=True)
             return
-        _run_leg(legs[1], remaining + 60.0)
+        rc_h, _, row_h = _run_leg(legs[1], remaining + 60.0)
+        if row_h is None and row48 is not None:
+            # Headline leg produced no row (crash/timeout): restate the
+            # insurance row with the failure recorded.
+            _note(f"n={legs[1]} leg produced no row (rc={rc_h}); "
+                  "re-emitting insurance row")
+            row48 = dict(row48, skipped_legs=legs[1:],
+                         skip_reason=f"n={legs[1]} leg rc={rc_h}, no row")
+            print(json.dumps(row48), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,17 +33,42 @@ if _os.environ.get("CUTFEMX_PLATFORM"):
 # makes every consumer — bench.py, the driver's entry()/demo runs, user
 # scripts — share one on-disk cache next to the package. Opt out with
 # CUTFEMX_NO_COMPILE_CACHE=1 or point elsewhere via CUTFEMX_COMPILE_CACHE.
-# CPU runs are excluded: XLA:CPU AOT cache entries pin compile-machine
-# features and warn (or SIGILL) when replayed on a different host, and CPU
-# compiles are cheap anyway — tests/dryruns set jax_platforms=cpu before
-# importing this package, which is what the guard reads.
-if not _os.environ.get("CUTFEMX_NO_COMPILE_CACHE") \
-        and _jax.config.jax_platforms != "cpu" \
-        and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
-    _cache_dir = _os.environ.get(
-        "CUTFEMX_COMPILE_CACHE",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
+# CPU-only runs are excluded: XLA:CPU AOT cache entries pin
+# compile-machine features and warn (or SIGILL) when replayed on a
+# different host, and CPU compiles are cheap anyway. "CPU-only" means the
+# first requested platform is cpu (jax_platforms config / JAX_PLATFORMS,
+# parsed as a comma list — tests/dryruns set jax_platforms=cpu before
+# importing this package), or no platform was requested and cpu is the
+# only registered PJRT backend, so JAX's fallback would resolve to it.
+
+
+def _cache_wanted():
+    plats = (_os.environ.get("JAX_PLATFORMS")
+             or _jax.config.jax_platforms or "")
+    plats = [p.strip() for p in str(plats).split(",") if p.strip()]
+    if plats:
+        return plats[0] != "cpu"
+    try:  # nothing requested: would the default resolution be CPU-only?
+        from jax._src import xla_bridge as _xb
+        return any(name != "cpu" for name in _xb._backend_factories)
+    except Exception:  # registry moved: assume an accelerator is present
+        return True
+
+
+def _default_cache_dir():
+    # Prefer a cache next to a repo checkout (shared with the driver's
+    # bench runs); a pip-installed layout would put that in site-packages,
+    # so fall back to the user cache when the parent is not writable.
+    parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    if _os.access(parent, _os.W_OK):
+        return _os.path.join(parent, ".jax_cache")
+    return _os.path.join(_os.path.expanduser("~"), ".cache",
+                         "cutfemx_tpu", "jax")
+
+
+if not _os.environ.get("CUTFEMX_NO_COMPILE_CACHE") and _cache_wanted():
+    _cache_dir = _os.environ.get("CUTFEMX_COMPILE_CACHE",
+                                 _default_cache_dir())
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
