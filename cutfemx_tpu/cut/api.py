@@ -80,6 +80,26 @@ def _subdivision_levels(cut_data, phi):
     return 0
 
 
+def _approx_plan(cut_data, phi, mesh):
+    """(levels, curved) for cell-hosted marching rules.
+
+    ``cut_approximation_order >= 2`` on a simplex host with a
+    higher-degree level set selects the genuinely higher-order curved
+    path (isoparametric P2 parts with polished/projected interface
+    nodes, O(h^3) geometric error) at the BASE part count; other
+    combinations keep the red-refinement mapping of
+    _subdivision_levels (the reference delegates both regimes to
+    CutCells/Algoim via cut.py:190-194)."""
+    opts = cut_data.options or {}
+    approx = opts.get("cut_approximation", "auto")
+    order = int(opts.get("cut_approximation_order", 1))
+    if (approx != "linear" and order > 1
+            and phi.function_space.degree > 1
+            and mesh.cell_type in ("triangle", "tetrahedron")):
+        return 0, True
+    return _subdivision_levels(cut_data, phi), False
+
+
 def _single_clause(selector):
     terms = parse_selector(selector)
     if len(terms) != 1 or len(terms[0]) != 1:
@@ -112,7 +132,7 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
     mesh = cut_data.mesh
     cut_entities = cut_data.hosted_entities[
         cut_data.domains[idx] == DOMAIN_INTERSECTED]
-    levels = _subdivision_levels(cut_data, phi)
+    levels, curved = _approx_plan(cut_data, phi, mesh)
 
     if backend in ("algoim", "algoim_general"):
         # Saye dimension-reduction quadrature; quad/hex hosts only (the
@@ -140,12 +160,12 @@ def runtime_quadrature(cut_data: CutData, ls_part: str, order: int, *,
     if cut_data.hosted_dim == mesh.tdim:
         if op in ("<", "<="):
             return volume_rules(mesh, phi, cut_entities, order, side="<",
-                                levels=levels)
+                                levels=levels, curved=curved)
         if op in (">", ">="):
             return volume_rules(mesh, phi, cut_entities, order, side=">",
-                                levels=levels)
+                                levels=levels, curved=curved)
         return interface_rules(mesh, phi, cut_entities, order,
-                               levels=levels)
+                               levels=levels, curved=curved)
     if cut_data.hosted_dim == mesh.tdim - 1:
         if op == "=":
             from .quadrature import facet_interface_rules
@@ -335,10 +355,10 @@ def create_cut_mesh(cut_data: CutData, ls_part: str, mode=None) -> CutMesh:
             pv = jnp.asarray(coords[:, sub, :])
             ph = jnp.asarray(phiv[:, sub])
             if op == "=":
-                X, valid = _march_parts(ph, pv, tdim, SURF)
+                X, valid, _ = _march_parts(ph, pv, tdim, SURF)
             else:
                 sgn = -1.0 if op in (">", ">=") else 1.0
-                X, valid = _march_parts(sgn * ph, pv, tdim, VOL)
+                X, valid, _ = _march_parts(sgn * ph, pv, tdim, VOL)
             add_parts(X, valid, cut_cells, 1)
 
     # whole uncut cells of the phase
@@ -413,10 +433,10 @@ def _create_facet_cut_mesh(cut_data, idx, op, mode):
         coords = jnp.asarray(mesh.vertices[fv])
         ph = jnp.asarray(vertex_vals[fv])
         if op == "=":
-            X, valid = _march_parts(ph, coords, k, SURF)
+            X, valid, _ = _march_parts(ph, coords, k, SURF)
         else:
             sgn = -1.0 if op in (">", ">=") else 1.0
-            X, valid = _march_parts(sgn * ph, coords, k, VOL)
+            X, valid, _ = _march_parts(sgn * ph, coords, k, VOL)
         add_parts(X, valid, cut_facets, 1)
 
     if mode == "full" and op != "=":

@@ -124,15 +124,23 @@ class RuntimeQuadratureRules:
 # ---------------------------------------------------------------------------
 
 
-def _march_parts(phis, verts, k, table):
+def _march_parts(phis, verts, k, table, basis=None):
     """Extract cut parts of embedded k-simplices.
 
     phis:  (C, k+1) level-set values at simplex vertices
     verts: (C, k+1, tdim) simplex vertex coords (parent-reference space)
     table: (2^(k+1), max_parts, m) node-id table (m = k+1 for volume parts,
            k for interface parts)
+    basis: optional (element, dofs (C, ndofs)) of the true level set —
+           when given, every edge-intersection node is Newton-polished
+           along its host edge onto the TRUE zero set (the root-finding
+           role of the reference's Algoim delegation for higher-degree
+           level sets, /root/reference/python/cutfemx/cut.py:190-194),
+           instead of the P1-interpolated crossing.
 
-    Returns (X (C, max_parts, m, tdim), valid (C, max_parts)).
+    Returns (X (C, max_parts, m, tdim), valid (C, max_parts),
+             ids (C, max_parts, m) marching node ids with -1 padding;
+             ids >= k+1 are edge-intersection nodes).
     """
     C = phis.shape[0]
     edges = canonical_edges(k)
@@ -143,21 +151,40 @@ def _march_parts(phis, verts, k, table):
 
     # node coordinates: vertices then canonical-edge intersections
     nodes = [verts[:, i, :] for i in range(k + 1)]
-    for (a, b) in edges:
-        fa, fb = phis[:, a], phis[:, b]
-        denom = fa - fb
-        t = jnp.where(jnp.abs(denom) > 1e-300, fa / denom, 0.5)
-        t = jnp.clip(t, 0.0, 1.0)
-        nodes.append(verts[:, a, :] + t[:, None] * (verts[:, b, :]
-                                                    - verts[:, a, :]))
-    nodes = jnp.stack(nodes, axis=1)            # (C, nn, tdim)
+    a_idx = np.asarray([a for a, _ in edges])
+    b_idx = np.asarray([b for _, b in edges])
+    fa = phis[:, a_idx]
+    fb = phis[:, b_idx]
+    denom = fa - fb
+    t = jnp.where(jnp.abs(denom) > 1e-300, fa / denom, 0.5)
+    t = jnp.clip(t, 0.0, 1.0)                   # (C, nE)
+    va = verts[:, a_idx, :]
+    vb = verts[:, b_idx, :]
+    d = vb - va
+    if basis is not None:
+        el, dofs = basis
+        # Newton in the edge parameter on g(t) = phi(va + t d) with the
+        # true basis; the linear crossing seeds it. Sign flips of phis
+        # (side '>') do not move the roots, so dofs stay unnegated.
+        for _ in range(6):
+            p = va + t[..., None] * d
+            g = jnp.einsum("cen,cn->ce", el.tabulate(p), dofs)
+            dg = jnp.einsum("cent,cn,cet->ce", el.tabulate_grad(p),
+                            dofs, d)
+            safe = jnp.where(jnp.abs(dg) > 1e-300, dg, 1.0)
+            tn = t - jnp.where(jnp.abs(dg) > 1e-300, g / safe, 0.0)
+            t = jnp.clip(jnp.where(jnp.isfinite(tn), tn, t), 0.0, 1.0)
+    cross = va + t[..., None] * d               # (C, nE, tdim)
+    nodes = jnp.concatenate(
+        [jnp.stack(nodes, axis=1), cross], axis=1)  # (C, nn, tdim)
 
     tab = jnp.asarray(table)[case]              # (C, max_parts, m)
     valid = tab[:, :, 0] >= 0
+    ids = jnp.where(valid[:, :, None], tab, -1)
     tab = jnp.maximum(tab, 0)
     X = jnp.take_along_axis(nodes[:, None, :, :],
                             tab[:, :, :, None], axis=2)
-    return X, valid
+    return X, valid, ids
 
 
 def _physical_weights(mesh_cell_type, cell_coords, points, T, rule_w, valid):
@@ -197,6 +224,144 @@ def _map_rule(X, rule_pts):
 _SIMPLEX_NAME = {1: "interval", 2: "triangle", 3: "tetrahedron"}
 
 
+# ---------------------------------------------------------------------------
+# curved (quadratic) cut approximation on simplex hosts
+#
+# Genuinely higher-order interface geometry (the role the reference
+# delegates to CutCells/Algoim via cut_approximation_order,
+# /root/reference/python/cutfemx/cut.py:190-194): marching-part vertices
+# are Newton-polished onto the true zero set along their host edges
+# (_march_parts basis=), each part is upgraded to an isoparametric P2
+# sub-simplex whose interface mid-edge nodes are projected onto {phi=0}
+# along grad(phi), and quadrature maps through the quadratic geometry with
+# per-point Jacobians. Geometric error drops from O(h^2) (linear marching)
+# to O(h^3) at the SAME part/point count.
+# ---------------------------------------------------------------------------
+
+
+def _p2_simplex_shapes(k, pts):
+    """P2 Lagrange shape functions of the reference k-simplex.
+
+    pts: (nq, k) -> (N (nq, nn), dN (nq, nn, k)) with node order
+    [vertices 0..k, then canonical_edges(k) midpoints]."""
+    pts = np.asarray(pts, dtype=np.float64)
+    nq = pts.shape[0]
+    lam = np.concatenate([1.0 - pts.sum(axis=1, keepdims=True), pts],
+                         axis=1)                        # (nq, k+1)
+    dlam = np.concatenate([-np.ones((1, k)), np.eye(k)], axis=0)  # (k+1, k)
+    Ns, dNs = [], []
+    for i in range(k + 1):
+        Ns.append(lam[:, i] * (2.0 * lam[:, i] - 1.0))
+        dNs.append((4.0 * lam[:, i] - 1.0)[:, None] * dlam[i])
+    for (a, b) in canonical_edges(k):
+        Ns.append(4.0 * lam[:, a] * lam[:, b])
+        dNs.append(4.0 * (lam[:, a][:, None] * dlam[b]
+                          + lam[:, b][:, None] * dlam[a]))
+    N = np.stack(Ns, axis=1)                            # (nq, nn)
+    dN = np.stack(dNs, axis=1).reshape(nq, -1, k)       # (nq, nn, k)
+    return N, dN
+
+
+def _curved_nodes(X, ids, nvm, el, dofs, k):
+    """Quadratic node set of each part: straight vertices + mid-edge nodes,
+    with interface mid-edges projected onto the true zero set.
+
+    X: (C, M, k+1, tdim) part vertices; ids: (C, M, k+1) marching node
+    ids (>= nvm: edge-intersection node, already polished onto {phi=0});
+    el/dofs: level-set basis per row. A part edge whose BOTH endpoints lie
+    on the interface gets its midpoint Newton-projected along grad(phi);
+    other mid-edges stay straight (cell-boundary pieces are affine).
+    Returns P (C, M, nn, tdim)."""
+    edges = canonical_edges(k)
+    a_idx = np.asarray([a for a, _ in edges])
+    b_idx = np.asarray([b for _, b in edges])
+    Xa = X[:, :, a_idx, :]
+    Xb = X[:, :, b_idx, :]
+    mid = 0.5 * (Xa + Xb)                               # (C, M, nE, t)
+    on_if = (ids[:, :, a_idx] >= nvm) & (ids[:, :, b_idx] >= nvm)
+    C, M, nE, t = mid.shape
+    p = mid.reshape(C, M * nE, t)
+    for _ in range(6):
+        f = jnp.einsum("cpn,cn->cp", el.tabulate(p), dofs)
+        g = jnp.einsum("cpnt,cn->cpt", el.tabulate_grad(p), dofs)
+        gg = jnp.sum(g * g, axis=-1)
+        step = jnp.where(gg > 1e-300, f / jnp.where(gg > 0, gg, 1.0), 0.0)
+        pn = p - step[..., None] * g
+        p = jnp.where(jnp.isfinite(pn).all(-1, keepdims=True), pn, p)
+    p = p.reshape(C, M, nE, t)
+    # accept a projected midpoint only when it stayed near its edge
+    # (|disp| <= half the edge length: slivers / vanishing gradients fall
+    # back to the straight midpoint, which is always consistent)
+    disp2 = jnp.sum((p - mid) ** 2, axis=-1)
+    elen2 = jnp.sum((Xb - Xa) ** 2, axis=-1)
+    ok = on_if & jnp.isfinite(p).all(-1) & (disp2 <= 0.25 * elen2 + 1e-30)
+    mids = jnp.where(ok[..., None], p, mid)
+    return jnp.concatenate([X, mids], axis=2)
+
+
+def _map_rule_curved(P, rule_pts, k):
+    """Map reference-simplex rule points through the quadratic part
+    geometry. P: (C, M, nn, tdim) P2 nodes; rule_pts: (nq, k).
+    Returns (points (C, M, nq, tdim), Tq (C, M, nq, tdim, k))."""
+    N, dN = _p2_simplex_shapes(k, rule_pts)
+    N = jnp.asarray(N)
+    dN = jnp.asarray(dN)
+    pts = jnp.einsum("qn,cmnt->cmqt", N, P)
+    Tq = jnp.einsum("qnk,cmnt->cmqtk", dN, P)
+    return pts, Tq
+
+
+def _physical_weights_q(mesh_cell_type, cell_coords, points, Tq, rule_w,
+                        valid):
+    """Per-point variant of _physical_weights for curved parts:
+    w_q * gram_det(J(xi_q) @ T_q). Tq: (C, M, nq, tdim, k)."""
+    el = lagrange_element(mesh_cell_type, 1)
+    C, M, nq, tdim = points.shape
+    dphi = el.tabulate_grad(points.reshape(C, M * nq, tdim))
+    J = jnp.einsum("cvg,cqvt->cqgt", cell_coords, dphi)
+    J = J.reshape(C, M, nq, J.shape[-2], tdim)
+    G = jnp.einsum("cmqgt,cmqtk->cmqgk", J, Tq)
+    GTG = jnp.einsum("cmqgk,cmqgl->cmqkl", G, G)
+    k = Tq.shape[-1]
+    if k == 1:
+        gram = jnp.sqrt(jnp.abs(GTG[..., 0, 0]))
+    else:
+        gram = jnp.sqrt(jnp.abs(jnp.linalg.det(GTG)))
+    w = rule_w[None, None, :] * gram
+    return jnp.where(valid[:, :, None], w, 0.0)
+
+
+def _part_normals_q(Tq):
+    """Per-point unit normal (up to sign) of curved codim-1 parts.
+
+    Tq: (C, M, nq, tdim, tdim-1) -> (C, M, nq, tdim)."""
+    tdim = Tq.shape[3]
+    if tdim == 2:
+        t = Tq[..., 0]
+        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    elif tdim == 3:
+        n = jnp.cross(Tq[..., 0], Tq[..., 1])
+    else:
+        n = jnp.ones(Tq.shape[:3] + (1,), Tq.dtype)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.where(norm > 0, norm, 1.0)
+
+
+def _push_normal_q(cell_type, coords, pts, nref):
+    """Per-point covariant pushforward n_phys ~ J^{-T} n_ref.
+
+    coords: (C, nv, g); pts: (C, M, nq, t); nref: (C, M, nq, t)."""
+    el = lagrange_element(cell_type, 1)
+    C, M, nq, tdim = pts.shape
+    dphi = el.tabulate_grad(pts.reshape(C, M * nq, tdim))
+    J = jnp.einsum("cvg,cqvt->cqgt", coords, dphi).reshape(C, M, nq, -1,
+                                                           tdim)
+    K = jnp.linalg.inv(J) if J.shape[-2] == tdim else jnp.linalg.pinv(J)
+    n = jnp.einsum("cmqtg,cmqt->cmqg", K, nref)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.where(norm > 0, norm, 1.0)
+
+
 def _eval_phi_at(space, dofs_per_cell, ref_points):
     """Tabulate a level-set function at fixed reference points of each cell.
 
@@ -223,11 +388,14 @@ def _cell_simplices(mesh, levels):
     return subdivided_simplices(base, levels)
 
 
-def volume_rules(mesh, phi, cut_cells, order, side="<", levels=0):
+def volume_rules(mesh, phi, cut_cells, order, side="<", levels=0,
+                 curved=False):
     """Padded volume rules for {phi < 0} (side '<') or {phi > 0} (side '>')
     on the given cut cells. Points in parent reference coords; weights
     physical. ``levels`` red-refines the marching simplices with the true
-    level-set basis re-evaluated at every sub-vertex."""
+    level-set basis re-evaluated at every sub-vertex; ``curved`` upgrades
+    every part to an isoparametric P2 sub-simplex with polished/projected
+    interface nodes (higher-order cut approximation on simplex hosts)."""
     cell = mesh.ref_cell
     tdim = cell.tdim
     VOL, _ = simplex_cut_tables(tdim)
@@ -247,22 +415,33 @@ def volume_rules(mesh, phi, cut_cells, order, side="<", levels=0):
     verts = jnp.broadcast_to(jnp.asarray(sims)[None],
                              (C, NS, tdim + 1, tdim)).reshape(
         C * NS, tdim + 1, tdim)
-    X, valid = _march_parts(phi_all.reshape(C * NS, tdim + 1), verts,
-                            tdim, VOL)
-    pts, T = _map_rule(X, rule_pts)               # (C*NS, M, nq, t)
+    el = phi.function_space.element
+    dofs_rep = jnp.repeat(dofs, NS, axis=0) if curved else None
+    X, valid, ids = _march_parts(phi_all.reshape(C * NS, tdim + 1), verts,
+                                 tdim, VOL,
+                                 basis=(el, dofs_rep) if curved else None)
     coords_rep = jnp.repeat(coords, NS, axis=0)
-    w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
-                          jnp.asarray(rule_w), valid)
+    if curved:
+        P = _curved_nodes(X, ids, tdim + 1, el, dofs_rep, tdim)
+        pts, Tq = _map_rule_curved(P, rule_pts, tdim)
+        w = _physical_weights_q(mesh.cell_type, coords_rep, pts, Tq,
+                                jnp.asarray(rule_w), valid)
+    else:
+        pts, T = _map_rule(X, rule_pts)           # (C*NS, M, nq, t)
+        w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
+                              jnp.asarray(rule_w), valid)
     points = pts.reshape(C, -1, tdim)
     weights = w.reshape(C, -1)
     return RuntimeQuadratureRules(tdim, cut_cells, points, weights,
                                   mesh=mesh)
 
 
-def interface_rules(mesh, phi, cut_cells, order, levels=0):
+def interface_rules(mesh, phi, cut_cells, order, levels=0, curved=False):
     """Padded interface ({phi = 0}) rules on cut cells, with geometric
     normals oriented by grad(phi) (outward from the {phi<0} phase, the role
-    of /root/reference/cpp/cutfemx/geometry/surface_normal.h)."""
+    of /root/reference/cpp/cutfemx/geometry/surface_normal.h). ``curved``
+    maps the rule through quadratic parts whose nodes all lie on the true
+    zero set, with per-point normals."""
     cell = mesh.ref_cell
     tdim = cell.tdim
     _, SURF = simplex_cut_tables(tdim)
@@ -282,20 +461,40 @@ def interface_rules(mesh, phi, cut_cells, order, levels=0):
                               (C, NS, tdim + 1, tdim)).reshape(
         C * NS, tdim + 1, tdim)
     sphis = phi_all.reshape(C * NS, tdim + 1)
-    X, valid = _march_parts(sphis, sverts, tdim, SURF)
-    pts, T = _map_rule(X, rule_pts)               # T: (CNS, M, t, t-1)
+    el = phi.function_space.element
+    dofs_rep = jnp.repeat(dofs, NS, axis=0) if curved else None
+    X, valid, ids = _march_parts(sphis, sverts, tdim, SURF,
+                                 basis=(el, dofs_rep) if curved else None)
     coords_rep = jnp.repeat(coords, NS, axis=0)
-    w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
-                          jnp.asarray(rule_w), valid)
+    if curved:
+        P = _curved_nodes(X, ids, tdim + 1, el, dofs_rep, tdim - 1)
+        pts, Tq = _map_rule_curved(P, rule_pts, tdim - 1)
+        w = _physical_weights_q(mesh.cell_type, coords_rep, pts, Tq,
+                                jnp.asarray(rule_w), valid)
+        # per-point normal of the curved part, oriented by the TRUE
+        # grad(phi) at each quadrature point
+        nref = _part_normals_q(Tq)                        # (CNS, M, nq, t)
+        CN, M, nq, _ = pts.shape
+        gref = jnp.einsum("cpnt,cn->cpt",
+                          el.tabulate_grad(pts.reshape(CN, M * nq, tdim)),
+                          dofs_rep).reshape(CN, M, nq, tdim)
+        orient = jnp.sign(jnp.einsum("cmqt,cmqt->cmq", nref, gref))
+        orient = jnp.where(orient == 0, 1.0, orient)
+        nphys = _push_normal_q(mesh.cell_type, coords_rep, pts,
+                               nref * orient[..., None])
+    else:
+        pts, T = _map_rule(X, rule_pts)           # T: (CNS, M, t, t-1)
+        w = _physical_weights(mesh.cell_type, coords_rep, pts, T,
+                              jnp.asarray(rule_w), valid)
 
-    # geometric normal: reference-space normal of the planar part,
-    # pushed forward covariantly (J^-T), oriented along grad(phi)
-    gphi_ref = _linear_gradient(sverts, sphis)            # (CNS, tdim)
-    nref = _part_normals(T)                               # (CNS, M, tdim)
-    orient = jnp.sign(jnp.einsum("cmt,ct->cm", nref, gphi_ref))
-    orient = jnp.where(orient == 0, 1.0, orient)
-    nref = nref * orient[:, :, None]
-    nphys = _push_normal(mesh.cell_type, coords_rep, pts, nref)
+        # geometric normal: reference-space normal of the planar part,
+        # pushed forward covariantly (J^-T), oriented along grad(phi)
+        gphi_ref = _linear_gradient(sverts, sphis)        # (CNS, tdim)
+        nref = _part_normals(T)                           # (CNS, M, tdim)
+        orient = jnp.sign(jnp.einsum("cmt,ct->cm", nref, gphi_ref))
+        orient = jnp.where(orient == 0, 1.0, orient)
+        nref = nref * orient[:, :, None]
+        nphys = _push_normal(mesh.cell_type, coords_rep, pts, nref)
 
     points = pts.reshape(C, -1, tdim)
     weights = w.reshape(C, -1)
@@ -395,7 +594,7 @@ def facet_interface_rules(mesh, phi, facets, order, polish=False):
         verts = fv[:, np.asarray(sub), :]
         tab = el.tabulate(verts)
         phis = jnp.einsum("cpn,cn->cp", tab, dofs)
-        X, valid = _march_parts(phis, verts, k, SURF)
+        X, valid, _ = _march_parts(phis, verts, k, SURF)
         if polish and k == 1 and X.shape[1] and X.shape[2] == 1:
             # Newton on g(t) = phi(p + t*d) along the facet direction
             d = verts[:, 1, :] - verts[:, 0, :]            # (C, tdim)
@@ -488,7 +687,7 @@ def compound_volume_rules(mesh, clauses, cells, order, levels=0):
             phis = -phis
         flat_phis = phis.reshape(C * B, tdim + 1)
         flat_verts = batch.reshape(C * B, tdim + 1, tdim)
-        X, valid = _march_parts(flat_phis, flat_verts, tdim, VOL)
+        X, valid, _ = _march_parts(flat_phis, flat_verts, tdim, VOL)
         M = X.shape[1]
         valid = valid & batch_valid.reshape(C * B)[:, None]
         batch = X.reshape(C, B * M, tdim + 1, tdim)
@@ -543,7 +742,7 @@ def facet_volume_rules(mesh, phi, facets, order, side="<"):
         phis = jnp.einsum("cpn,cn->cp", tab, dofs)
         if side == ">":
             phis = -phis
-        X, valid = _march_parts(phis, verts, k, VOL)
+        X, valid, _ = _march_parts(phis, verts, k, VOL)
         pts, T = _map_rule(X, rule_pts)
         w = _physical_weights(mesh.cell_type, coords, pts, T,
                               jnp.asarray(rule_w), valid)
