@@ -55,7 +55,12 @@ def _enable_compile_cache():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("CUTFEMX_COMPILE_CACHE", _CACHE_DIR))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # threshold 0: the warm-up floor is ~300 sub-0.5s eager programs (cut/
+    # classify/quadrature phases) that a 0.5s threshold would re-compile
+    # remotely on EVERY fresh process (~0.4s RPC each, measured: 150s of a
+    # 151s warm-up produced 5 new cache entries). Persisting them all
+    # converts that to cache replays.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 # Wall-clock budget for the whole bench process (the driver kills us around
@@ -438,15 +443,15 @@ def main():
         elapsed = time.perf_counter() - _T0
         remaining = _BUDGET_S - elapsed
         # Proxy for cache warmth: how long the n=48 warm-up actually took.
-        # Cold remote compiles run ~15x the cached replay; scale the n=108
-        # estimate accordingly. Measured r4: fully-warm n=48 warm-up
-        # ~20-40s; semi-warm (code touched since last run) ~124s with the
-        # n=108 leg still fitting comfortably (~420s total); cold ~1000s
-        # with no chance. 3x the n=48 warm-up + fixed costs tracks all
-        # three regimes.
+        # Measured r5 (full driver-command run): n=108 leg total = 120s of
+        # fixed costs (prefault 42 + host setup 34 + two ~20s passes) plus
+        # a warm-up that tracks the n=48 warm-up at ~1.34x (202s vs 151s;
+        # same program mix, bigger shapes). 1.7x + 140 keeps ~25% margin
+        # while still admitting the leg from a semi-warm cache — the old
+        # 3x + 240 formula skipped runs that would have fit by 2x.
         if warm48 is None:
             warm48 = 600.0
-        need = 240.0 + max(90.0, 3.0 * warm48)
+        need = 140.0 + max(90.0, 1.7 * warm48)
         if remaining < need:
             _note(f"skipping n={legs[1]} leg: {remaining:.0f}s of budget "
                   f"left, need ~{need:.0f}s (n={legs[0]} warm-up took "

@@ -43,8 +43,12 @@ if _os.environ.get("CUTFEMX_PLATFORM"):
 
 
 def _cache_wanted():
-    plats = (_os.environ.get("JAX_PLATFORMS")
-             or _jax.config.jax_platforms or "")
+    # jax.config.jax_platforms is seeded from JAX_PLATFORMS and reflects
+    # later jax.config.update("jax_platforms", ...) calls — reading the
+    # env var here would OVERRIDE an explicit cpu pin (this machine always
+    # exports JAX_PLATFORMS=axon, so cpu-forced verification scripts were
+    # polluting the cache with host-pinned XLA:CPU AOT entries).
+    plats = _jax.config.jax_platforms or ""
     plats = [p.strip() for p in str(plats).split(",") if p.strip()]
     if plats:
         return plats[0] != "cpu"
@@ -71,7 +75,10 @@ if not _os.environ.get("CUTFEMX_NO_COMPILE_CACHE") and _cache_wanted():
                                  _default_cache_dir())
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # threshold 0, not the 0.5s default: remote-tunnel warm-up is
+        # dominated by hundreds of sub-0.5s eager programs that would
+        # otherwise re-compile in every fresh process (see bench.py)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # older jax without the knob: run uncached
         pass
 
