@@ -133,3 +133,58 @@ def test_sgrid_solve_matches_serial(problem):
     r = np.asarray(op(jnp.asarray(np.asarray(x_sh)))) - b
     r[~dom.active_mask] = 0.0
     assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b)
+
+
+def test_sgrid_moving_domain_recut_n24():
+    """Distributed MOVING-DOMAIN step at n=24 (8 slabs x 3 cube planes
+    each): move phi, re-cut, re-assemble, re-solve through
+    ShardedStencilProblem, matching the serial production step — the
+    regime the reference runs under MPI (demo_moving_poisson.py:57-90
+    re-cut loop). Also exercises the verified-reuse build cache across
+    the move: the moved cut must NOT adopt the previous stages, and an
+    identical repeat step must adopt them."""
+    _BUILD_CACHE.clear()
+    mesh, V, phi = _setup(24, 2, "tetrahedron", r=0.46)
+    dmesh = make_device_mesh(8)
+
+    def serial_op():
+        af, Lf, dom = _serial_forms(mesh, V, phi)
+        b = np.array(fem.assemble_vector(Lf))
+        b[~dom.active_mask] = 0.0
+        return StencilCutOperator(af, dom), b, dom
+
+    # step 1 (r=0.46): distributed apply parity + populate the build cache
+    prob1 = ShardedStencilProblem(V, cut_poisson_builder(V, phi), dmesh)
+    op1, b1, dom1 = serial_op()
+    rng = np.random.default_rng(3)
+    xr = rng.standard_normal(op1.dim)
+    y_se = np.asarray(op1(jnp.asarray(xr)))
+    np.testing.assert_allclose(prob1.apply_global(xr), y_se, rtol=0,
+                               atol=1e-11 * max(1.0, np.abs(y_se).max()))
+    op1._ensure_cube_asm()
+    assert op1._cache_adoptable("asm")
+
+    # move the level set -> re-cut -> re-assemble -> re-solve
+    phi.interpolate(
+        lambda x: np.sqrt(x[0] ** 2 + x[1] ** 2 + x[2] ** 2) - 0.52)
+    prob2 = ShardedStencilProblem(V, cut_poisson_builder(V, phi), dmesh)
+    x_sh, its, res = prob2.solve_cg(rtol=1e-8, maxiter=2000)
+    op2, b2, dom2 = serial_op()
+    # the moved cut changes the build inputs bitwise: no stale adoption
+    assert not op2._cache_adoptable("asm")
+    x_se, _, _ = op2.solve_cg(jnp.asarray(b2), rtol=1e-8, maxiter=2000,
+                              precond="asm2")
+    x_se = np.asarray(x_se)
+    ref = np.linalg.norm(x_se)
+    assert np.linalg.norm(np.asarray(x_sh) - x_se) <= 1e-7 * ref
+    r = np.asarray(op2(jnp.asarray(np.asarray(x_sh)))) - b2
+    r[~dom2.active_mask] = 0.0
+    assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(b2)
+
+    # identical repeat step (fixed cut): a fresh operator ADOPTS the
+    # cached stages and reproduces the solve
+    op3, b3, dom3 = serial_op()
+    assert op3._cache_adoptable("asm")
+    x3, _, _ = op3.solve_cg(jnp.asarray(b3), rtol=1e-8, maxiter=2000,
+                            precond="asm2")
+    assert np.linalg.norm(np.asarray(x3) - x_se) <= 1e-10 * ref
