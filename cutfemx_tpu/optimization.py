@@ -139,31 +139,31 @@ class LBFGSState:
     """Limited-memory BFGS history over design vectors.
 
     The three parallel lists hold the newest ``memory`` accepted pairs in
-    chronological order (oldest first); ``rho_values[i]`` caches
+    chronological order (oldest first); ``inv_sy[i]`` caches
     ``1 / <s_i, y_i>``. Vectors are whatever flattening the caller uses
     (interface speed dofs, level-set dofs, ...). Re-derived from the
     textbook two-loop method (Nocedal & Wright alg. 7.4/7.5); fills the
     role of the reference demo's L-BFGS helper (reference :1053-1141)."""
-    s_vectors: list = field(default_factory=list)
-    y_vectors: list = field(default_factory=list)
-    rho_values: list = field(default_factory=list)
-    previous_x: np.ndarray | None = None
-    previous_gradient: np.ndarray | None = None
-    last_curvature: float = 0.0
-    last_update_accepted: bool = False
+    s_hist: list = field(default_factory=list)
+    y_hist: list = field(default_factory=list)
+    inv_sy: list = field(default_factory=list)
+    anchor_x: np.ndarray | None = None
+    anchor_grad: np.ndarray | None = None
+    curvature_sy: float = 0.0
+    pair_accepted: bool = False
 
     def drop_history(self):
         """Forget accepted pairs; keep the (x, g) anchor."""
-        del self.s_vectors[:]
-        del self.y_vectors[:]
-        del self.rho_values[:]
+        del self.s_hist[:]
+        del self.y_hist[:]
+        del self.inv_sy[:]
 
     def clear(self):
         self.drop_history()
-        self.previous_x = None
-        self.previous_gradient = None
-        self.last_curvature = 0.0
-        self.last_update_accepted = False
+        self.anchor_x = None
+        self.anchor_grad = None
+        self.curvature_sy = 0.0
+        self.pair_accepted = False
 
 
 def lbfgs_update(state: LBFGSState, x, gradient, *, memory: int,
@@ -179,29 +179,29 @@ def lbfgs_update(state: LBFGSState, x, gradient, *, memory: int,
     dotp = inner_product or _euclid
     x = np.array(x, dtype=float)
     g = np.array(gradient, dtype=float)
-    state.last_curvature = 0.0
-    state.last_update_accepted = False
-    anchored = (state.previous_x is not None
-                and state.previous_gradient is not None)
+    state.curvature_sy = 0.0
+    state.pair_accepted = False
+    anchored = (state.anchor_x is not None
+                and state.anchor_grad is not None)
     if anchored:
-        s = x - state.previous_x
-        y = g - state.previous_gradient
+        s = x - state.anchor_x
+        y = g - state.anchor_grad
         sy = float(dotp(s, y))
-        state.last_curvature = sy
+        state.curvature_sy = sy
         magnitude = np.sqrt(max(dotp(s, s), 0.0) * max(dotp(y, y), 0.0))
         admissible = (memory > 0 and np.isfinite(sy)
                       and sy > curvature_tol * max(magnitude, 1e-30))
         if admissible:
-            state.s_vectors.append(s)
-            state.y_vectors.append(y)
-            state.rho_values.append(1.0 / sy)
-            if len(state.s_vectors) > memory:
-                del state.s_vectors[:-memory]
-                del state.y_vectors[:-memory]
-                del state.rho_values[:-memory]
-            state.last_update_accepted = True
-    state.previous_x = x
-    state.previous_gradient = g
+            state.s_hist.append(s)
+            state.y_hist.append(y)
+            state.inv_sy.append(1.0 / sy)
+            if len(state.s_hist) > memory:
+                del state.s_hist[:-memory]
+                del state.y_hist[:-memory]
+                del state.inv_sy[:-memory]
+            state.pair_accepted = True
+    state.anchor_x = x
+    state.anchor_grad = g
 
 
 def lbfgs_inverse_hessian_product(state: LBFGSState, gradient,
@@ -211,10 +211,10 @@ def lbfgs_inverse_hessian_product(state: LBFGSState, gradient,
     (equivalently 1/(rho <y,y>), since rho caches 1/<s,y>)."""
     dotp = inner_product or _euclid
     q = np.array(gradient, dtype=float)
-    k = len(state.s_vectors)
+    k = len(state.s_hist)
     if k == 0:
         return q
-    S, Y, R = state.s_vectors, state.y_vectors, state.rho_values
+    S, Y, R = state.s_hist, state.y_hist, state.inv_sy
     alpha = np.zeros(k)
     for i in range(k - 1, -1, -1):
         alpha[i] = R[i] * dotp(S[i], q)
@@ -253,10 +253,10 @@ class AugmentedLagrangianState:
     one scalar equality constraint c(x) + slack = 0 (role of the
     reference demo's ALM block, :1409-1473; re-derived from the standard
     ALM recursion lambda_{k+1} = lambda_k + rho_k c_k)."""
-    lagrange_multiplier: float = 0.0
+    multiplier: float = 0.0
     penalty: float = 1.0
-    penalty_multiplier: float = 1.1
-    penalty_limit: float = 1e6
+    rho_growth: float = 1.1
+    rho_max: float = 1e6
     slack: float = 0.0
 
     def violation(self, constraint: float) -> float:
@@ -269,16 +269,16 @@ def update_augmented_lagrangian(alm: AugmentedLagrangianState,
     """End-of-outer-iteration update: multiplier absorbs rho*c, penalty
     grows geometrically until it hits the cap."""
     c = alm.violation(constraint)
-    alm.lagrange_multiplier = alm.lagrange_multiplier + alm.penalty * c
-    grown = alm.penalty_multiplier * alm.penalty
-    alm.penalty = grown if grown < alm.penalty_limit else alm.penalty_limit
+    alm.multiplier = alm.multiplier + alm.penalty * c
+    grown = alm.rho_growth * alm.penalty
+    alm.penalty = grown if grown < alm.rho_max else alm.rho_max
 
 
 def alm_velocity_multiplier(alm: AugmentedLagrangianState,
                             constraint: float) -> float:
     """d/dc of the augmented Lagrangian — the factor multiplying the
     constraint's shape derivative in the descent velocity."""
-    return float(alm.lagrange_multiplier
+    return float(alm.multiplier
                  + alm.penalty * alm.violation(constraint))
 
 
@@ -287,7 +287,7 @@ def lagrangian_value(objective: float, constraint: float,
     """The merit function the line search monitors:
     L = J + lambda c + (rho/2) c^2."""
     c = alm.violation(constraint)
-    return float(objective) + alm.lagrange_multiplier * c \
+    return float(objective) + alm.multiplier * c \
         + 0.5 * alm.penalty * c * c
 
 
@@ -302,9 +302,9 @@ def initialise_augmented_lagrangian_scale(alm: AugmentedLagrangianState,
               and j0 > 0.0 and abs(c0) > 1e-14)
     if not usable:
         return
-    alm.lagrange_multiplier = j0 / c0
+    alm.multiplier = j0 / c0
     alm.penalty = j0 / c0 ** 2
-    alm.penalty_limit = 10.0 * alm.penalty
+    alm.rho_max = 10.0 * alm.penalty
 
 
 # -- adaptive step + Armijo ----------------------------------------------------
@@ -316,9 +316,9 @@ class AdaptiveGradientStepState:
     Barzilai-Borwein step length is estimated (role of the reference
     demo's step controller, :914-989; re-derived from the BB1 "long"
     step formula)."""
-    previous_phi: np.ndarray | None = None
-    previous_gradient: np.ndarray | None = None
-    accepted_dt: float = 0.0
+    anchor_phi: np.ndarray | None = None
+    anchor_grad: np.ndarray | None = None
+    dt_accepted: float = 0.0
 
 
 def motion_dt_cap(hmin: float, velocity_max: float,
@@ -335,10 +335,10 @@ def _barzilai_borwein_dt(state: AdaptiveGradientStepState, phi_values,
                          gradient_values):
     """BB1 step <s,s>/<s,y> against the last accepted pair, or None when
     no pair exists / the pair carries no usable positive curvature."""
-    if state.previous_phi is None or state.previous_gradient is None:
+    if state.anchor_phi is None or state.anchor_grad is None:
         return None
-    s = np.asarray(phi_values, float) - state.previous_phi
-    y = np.asarray(gradient_values, float) - state.previous_gradient
+    s = np.asarray(phi_values, float) - state.anchor_phi
+    y = np.asarray(gradient_values, float) - state.anchor_grad
     ss = float(s @ s)
     sy = float(s @ y)
     if not (np.isfinite(sy) and sy > 1e-30 and ss > 0.0):
@@ -365,21 +365,21 @@ def adaptive_gradient_dt(state: AdaptiveGradientStepState, phi_values,
     if not np.isfinite(dt) or dt <= 0.0:
         dt = prev
     return {
-        "step_dt_previous": prev,
-        "step_dt_bb": raw,
-        "step_dt_motion_cap": float(cap),
-        "step_dt_proposed": float(dt),
-        "step_bb_accepted": int(bb is not None),
+        "dt_prev": prev,
+        "dt_bb_raw": raw,
+        "dt_motion_cap": float(cap),
+        "dt_next": float(dt),
+        "bb_pair_used": int(bb is not None),
     }
 
 
 def accept_adaptive_gradient_step(state: AdaptiveGradientStepState,
                                   phi_values, gradient_values,
-                                  accepted_dt: float) -> None:
+                                  dt_accepted: float) -> None:
     """Commit an accepted step as the next BB pair's anchor."""
-    state.previous_phi = np.array(phi_values, dtype=float)
-    state.previous_gradient = np.array(gradient_values, dtype=float)
-    state.accepted_dt = float(accepted_dt)
+    state.anchor_phi = np.array(phi_values, dtype=float)
+    state.anchor_grad = np.array(gradient_values, dtype=float)
+    state.dt_accepted = float(dt_accepted)
 
 
 def armijo_rhs(current_objective: float, predicted_rate: float, dt: float,
@@ -391,7 +391,8 @@ def armijo_rhs(current_objective: float, predicted_rate: float, dt: float,
     expected = float(sufficient_decrease) * float(dt) * predicted_rate
     if np.isfinite(expected) and expected < 0.0:
         return j + expected
-    return j * (1.0 + 1e-10)
+    # no predicted descent: accept fp-level non-increase (a few ulps of J)
+    return j + 64.0 * np.finfo(float).eps * abs(j)
 
 
 # -- topology diagnostics -------------------------------------------------------
@@ -828,32 +829,32 @@ def save_checkpoint(path, *, iteration: int, phi=None,
     if dt is not None:
         payload["dt"] = np.float64(dt)
     if lbfgs is not None:
-        k = len(lbfgs.s_vectors)
+        k = len(lbfgs.s_hist)
         if k:
             payload["lbfgs_s"] = np.stack(
-                [np.asarray(s, float) for s in lbfgs.s_vectors])
+                [np.asarray(s, float) for s in lbfgs.s_hist])
             payload["lbfgs_y"] = np.stack(
-                [np.asarray(y, float) for y in lbfgs.y_vectors])
-            payload["lbfgs_rho"] = np.asarray(lbfgs.rho_values, float)
-        if lbfgs.previous_x is not None:
-            payload["lbfgs_prev_x"] = np.asarray(lbfgs.previous_x, float)
-        if lbfgs.previous_gradient is not None:
-            payload["lbfgs_prev_g"] = np.asarray(lbfgs.previous_gradient,
+                [np.asarray(y, float) for y in lbfgs.y_hist])
+            payload["lbfgs_rho"] = np.asarray(lbfgs.inv_sy, float)
+        if lbfgs.anchor_x is not None:
+            payload["lbfgs_prev_x"] = np.asarray(lbfgs.anchor_x, float)
+        if lbfgs.anchor_grad is not None:
+            payload["lbfgs_prev_g"] = np.asarray(lbfgs.anchor_grad,
                                                  float)
         payload["lbfgs_meta"] = np.asarray(
-            [float(lbfgs.last_curvature),
-             1.0 if lbfgs.last_update_accepted else 0.0])
+            [float(lbfgs.curvature_sy),
+             1.0 if lbfgs.pair_accepted else 0.0])
     if alm is not None:
         payload["alm"] = np.asarray(
-            [alm.lagrange_multiplier, alm.penalty, alm.penalty_multiplier,
-             alm.penalty_limit, alm.slack], float)
+            [alm.multiplier, alm.penalty, alm.rho_growth,
+             alm.rho_max, alm.slack], float)
     if step is not None:
-        if step.previous_phi is not None:
-            payload["step_prev_phi"] = np.asarray(step.previous_phi, float)
-        if step.previous_gradient is not None:
-            payload["step_prev_g"] = np.asarray(step.previous_gradient,
+        if step.anchor_phi is not None:
+            payload["step_prev_phi"] = np.asarray(step.anchor_phi, float)
+        if step.anchor_grad is not None:
+            payload["step_prev_g"] = np.asarray(step.anchor_grad,
                                                 float)
-        payload["step_dt"] = np.float64(step.accepted_dt)
+        payload["step_dt"] = np.float64(step.dt_accepted)
     if scalars:
         payload["scalars_json"] = np.frombuffer(
             _json.dumps(scalars).encode(), dtype=np.uint8).copy()
@@ -894,28 +895,28 @@ def load_checkpoint(path, *, phi=None) -> dict:
         if "lbfgs_meta" in z:
             st = LBFGSState()
             if "lbfgs_s" in z:
-                st.s_vectors = [np.asarray(s) for s in z["lbfgs_s"]]
-                st.y_vectors = [np.asarray(y) for y in z["lbfgs_y"]]
-                st.rho_values = [float(r) for r in z["lbfgs_rho"]]
+                st.s_hist = [np.asarray(s) for s in z["lbfgs_s"]]
+                st.y_hist = [np.asarray(y) for y in z["lbfgs_y"]]
+                st.inv_sy = [float(r) for r in z["lbfgs_rho"]]
             if "lbfgs_prev_x" in z:
-                st.previous_x = np.asarray(z["lbfgs_prev_x"])
+                st.anchor_x = np.asarray(z["lbfgs_prev_x"])
             if "lbfgs_prev_g" in z:
-                st.previous_gradient = np.asarray(z["lbfgs_prev_g"])
-            st.last_curvature = float(z["lbfgs_meta"][0])
-            st.last_update_accepted = bool(z["lbfgs_meta"][1] > 0.5)
+                st.anchor_grad = np.asarray(z["lbfgs_prev_g"])
+            st.curvature_sy = float(z["lbfgs_meta"][0])
+            st.pair_accepted = bool(z["lbfgs_meta"][1] > 0.5)
             out["lbfgs"] = st
         if "alm" in z:
             a = z["alm"]
             out["alm"] = AugmentedLagrangianState(
-                lagrange_multiplier=float(a[0]), penalty=float(a[1]),
-                penalty_multiplier=float(a[2]), penalty_limit=float(a[3]),
+                multiplier=float(a[0]), penalty=float(a[1]),
+                rho_growth=float(a[2]), rho_max=float(a[3]),
                 slack=float(a[4]))
         if "step_dt" in z:
-            sp = AdaptiveGradientStepState(accepted_dt=float(z["step_dt"]))
+            sp = AdaptiveGradientStepState(dt_accepted=float(z["step_dt"]))
             if "step_prev_phi" in z:
-                sp.previous_phi = np.asarray(z["step_prev_phi"])
+                sp.anchor_phi = np.asarray(z["step_prev_phi"])
             if "step_prev_g" in z:
-                sp.previous_gradient = np.asarray(z["step_prev_g"])
+                sp.anchor_grad = np.asarray(z["step_prev_g"])
             out["step"] = sp
         if "scalars_json" in z:
             out["scalars"] = _json.loads(bytes(z["scalars_json"]).decode())

@@ -175,7 +175,7 @@ def run_optimization(args) -> dict:
     riesz = opt.RieszVelocitySolver(mesh, args.smoothing_length * h)
     advector = opt.LevelSetAdvectionSolver(Vphi)
     lbfgs = opt.LBFGSState()
-    alm = opt.AugmentedLagrangianState(penalty_multiplier=1.05)
+    alm = opt.AugmentedLagrangianState(rho_growth=1.05)
     step = opt.AdaptiveGradientStepState()
     dt = args.motion_cfl * h  # first-step guess, refined by BB
 
@@ -249,7 +249,7 @@ def run_optimization(args) -> dict:
                     # with direction = -Hg (demo :1750-1751)
                     speed_vals = ((1.0 - args.lbfgs_damping) * gradient
                                   - args.lbfgs_damping * direction)
-                    conv["lbfgs_pairs"] = len(lbfgs.s_vectors)
+                    conv["lbfgs_pairs"] = len(lbfgs.s_hist)
                     conv["lbfgs_reset"] = resets
 
             # -- extend speed off the interface ------------------------
@@ -270,7 +270,7 @@ def run_optimization(args) -> dict:
             dt_row = opt.adaptive_gradient_dt(
                 step, np.asarray(phi.x), gradient, dt, h, smax,
                 args.motion_cfl)
-            trial_dt = dt_row["step_dt_proposed"]
+            trial_dt = dt_row["dt_next"]
             accepted = False
             backtracks = 0
             with opt.phase(row, "line_search"):

@@ -53,26 +53,26 @@ def test_lbfgs_curvature_rejection():
     opt.lbfgs_update(state, x0, g0, memory=5)
     # negative-curvature pair: s.y < 0 must be rejected
     opt.lbfgs_update(state, x0 + 1.0, g0 - 1.0, memory=5)
-    assert not state.last_update_accepted
-    assert len(state.s_vectors) == 0
+    assert not state.pair_accepted
+    assert len(state.s_hist) == 0
     # positive curvature accepted
     opt.lbfgs_update(state, x0 + 2.0, g0 + 5.0, memory=5)
-    assert state.last_update_accepted
-    assert len(state.s_vectors) == 1
+    assert state.pair_accepted
+    assert len(state.s_hist) == 1
 
 
 def test_lbfgs_direction_resets_on_nondescent():
     state = opt.LBFGSState()
     # poison history so H g is an ascent direction
-    state.s_vectors = [np.array([1.0, 0.0])]
-    state.y_vectors = [np.array([-1.0, 0.0])]
-    state.rho_values = [-1.0]
+    state.s_hist = [np.array([1.0, 0.0])]
+    state.y_hist = [np.array([-1.0, 0.0])]
+    state.inv_sy = [-1.0]
     g = np.array([1.0, 0.0])
     d, descent, resets = opt.lbfgs_direction(state, g)
     assert resets == 1
     assert descent < 0
     np.testing.assert_allclose(d, -g)
-    assert len(state.s_vectors) == 0
+    assert len(state.s_hist) == 0
 
 
 def test_lbfgs_weighted_inner_product():
@@ -97,26 +97,26 @@ def test_lbfgs_weighted_inner_product():
 
 def test_alm_drives_constraint_to_zero():
     # min x^2  s.t.  x - 1 = 0  -> x* = 1, lambda* = -2
-    alm = opt.AugmentedLagrangianState(penalty=1.0, penalty_multiplier=1.5,
-                                       penalty_limit=100.0)
+    alm = opt.AugmentedLagrangianState(penalty=1.0, rho_growth=1.5,
+                                       rho_max=100.0)
     x = 0.0
     for _ in range(50):
         # inner minimization of the augmented Lagrangian (exact)
-        lam, rho = alm.lagrange_multiplier, alm.penalty
+        lam, rho = alm.multiplier, alm.penalty
         x = (rho - lam) / (2.0 + rho)
         opt.update_augmented_lagrangian(alm, x - 1.0)
     assert abs(x - 1.0) < 1e-6
-    assert abs(alm.lagrange_multiplier + 2.0) < 1e-5
+    assert abs(alm.multiplier + 2.0) < 1e-5
     assert alm.penalty <= 100.0
 
 
 def test_alm_helpers():
-    alm = opt.AugmentedLagrangianState(lagrange_multiplier=2.0, penalty=4.0)
+    alm = opt.AugmentedLagrangianState(multiplier=2.0, penalty=4.0)
     assert opt.alm_velocity_multiplier(alm, 0.5) == 2.0 + 4.0 * 0.5
     assert opt.lagrangian_value(1.0, 0.5, alm) == \
         1.0 + 2.0 * 0.5 + 0.5 * 4.0 * 0.25
     opt.initialise_augmented_lagrangian_scale(alm, 10.0, 0.1)
-    assert alm.lagrange_multiplier == pytest.approx(100.0)
+    assert alm.multiplier == pytest.approx(100.0)
     assert alm.penalty == pytest.approx(1000.0)
 
 
@@ -132,10 +132,10 @@ def test_bb_step_recovers_quadratic_curvature():
     phi1 = np.array([1.5, 2.5])
     row = opt.adaptive_gradient_dt(state, phi1, a * phi1, 0.1, hmin=1.0,
                                    velocity_max=0.0, motion_cfl=0.5)
-    assert row["step_bb_accepted"] == 1
-    assert row["step_dt_bb"] == pytest.approx(1.0 / a)
+    assert row["bb_pair_used"] == 1
+    assert row["dt_bb_raw"] == pytest.approx(1.0 / a)
     # growth clip: bb 0.25 is > 2 * previous 0.1
-    assert row["step_dt_proposed"] == pytest.approx(0.2)
+    assert row["dt_next"] == pytest.approx(0.2)
 
 
 def test_motion_cap_and_armijo():
@@ -144,7 +144,8 @@ def test_motion_cap_and_armijo():
     # predicted decrease: threshold below current objective
     assert opt.armijo_rhs(1.0, -2.0, 0.1, 0.5) == pytest.approx(0.9)
     # no predicted decrease: tiny relative slack
-    assert opt.armijo_rhs(1.0, 1.0, 0.1, 0.5) == pytest.approx(1.0 + 1e-10)
+    rhs = opt.armijo_rhs(1.0, 1.0, 0.1, 0.5)
+    assert 1.0 < rhs < 1.0 + 1e-9
 
 
 # -- writers ---------------------------------------------------------------------
@@ -348,11 +349,11 @@ def test_checkpoint_roundtrip(tmp_path):
         opt.lbfgs_update(lb, rng.normal(size=7), rng.normal(size=7),
                          memory=5)
     alm = opt.AugmentedLagrangianState(
-        lagrange_multiplier=2.5, penalty=7.0, penalty_multiplier=1.2,
-        penalty_limit=100.0, slack=0.1)
+        multiplier=2.5, penalty=7.0, rho_growth=1.2,
+        rho_max=100.0, slack=0.1)
     st = opt.AdaptiveGradientStepState(
-        previous_phi=rng.normal(size=9),
-        previous_gradient=rng.normal(size=9), accepted_dt=0.037)
+        anchor_phi=rng.normal(size=9),
+        anchor_grad=rng.normal(size=9), dt_accepted=0.037)
 
     path = tmp_path / "ck.npz"
     opt.save_checkpoint(path, iteration=11, phi=phi, lbfgs=lb, alm=alm,
@@ -366,21 +367,21 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ck["scalars"] == {"best": 1.5, "tag": "run-a"}
     np.testing.assert_array_equal(np.asarray(phi2.x), np.asarray(phi.x))
     lb2 = ck["lbfgs"]
-    assert len(lb2.s_vectors) == len(lb.s_vectors)
-    for a, b in zip(lb.s_vectors + lb.y_vectors,
-                    lb2.s_vectors + lb2.y_vectors):
+    assert len(lb2.s_hist) == len(lb.s_hist)
+    for a, b in zip(lb.s_hist + lb.y_hist,
+                    lb2.s_hist + lb2.y_hist):
         np.testing.assert_array_equal(a, b)
-    np.testing.assert_allclose(lb2.rho_values, lb.rho_values)
-    np.testing.assert_array_equal(lb2.previous_x, lb.previous_x)
-    assert lb2.last_update_accepted == lb.last_update_accepted
+    np.testing.assert_allclose(lb2.inv_sy, lb.inv_sy)
+    np.testing.assert_array_equal(lb2.anchor_x, lb.anchor_x)
+    assert lb2.pair_accepted == lb.pair_accepted
     a2 = ck["alm"]
-    assert (a2.lagrange_multiplier, a2.penalty, a2.penalty_multiplier,
-            a2.penalty_limit, a2.slack) == (2.5, 7.0, 1.2, 100.0, 0.1)
+    assert (a2.multiplier, a2.penalty, a2.rho_growth,
+            a2.rho_max, a2.slack) == (2.5, 7.0, 1.2, 100.0, 0.1)
     st2 = ck["step"]
-    np.testing.assert_array_equal(st2.previous_phi, st.previous_phi)
-    np.testing.assert_array_equal(st2.previous_gradient,
-                                  st.previous_gradient)
-    assert st2.accepted_dt == st.accepted_dt
+    np.testing.assert_array_equal(st2.anchor_phi, st.anchor_phi)
+    np.testing.assert_array_equal(st2.anchor_grad,
+                                  st.anchor_grad)
+    assert st2.dt_accepted == st.dt_accepted
 
 
 def test_checkpoint_partial_states(tmp_path):
@@ -391,8 +392,8 @@ def test_checkpoint_partial_states(tmp_path):
     ck = opt.load_checkpoint(path)
     assert ck["iteration"] == 0
     assert "alm" not in ck and "step" not in ck and "phi" not in ck
-    assert len(ck["lbfgs"].s_vectors) == 0
-    assert ck["lbfgs"].previous_x is None
+    assert len(ck["lbfgs"].s_hist) == 0
+    assert ck["lbfgs"].anchor_x is None
 
     opt.save_checkpoint(path, iteration=1, phi=np.zeros(5))
     mesh = cfx.mesh.create_rectangle((0.0, 0.0), (1.0, 1.0), (3, 3))
