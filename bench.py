@@ -225,6 +225,7 @@ def run_one(n, iters, solver):
                 _note(f"n={n}: host cache save failed: {e}")
 
     dbg = os.environ.get("CUTFEMX_CG_DEBUG")
+    seen = {}
 
     def pipeline():
         """One full moving-domain step: classify -> quadrature -> forms ->
@@ -298,6 +299,7 @@ def run_one(n, iters, solver):
                 kw["precond"] = pc
         x_, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters, **kw)
         x_.block_until_ready()
+        seen["op"] = op
         return x_, its, res, t_mid
 
     # warm-up pass: compiles every kernel + the fused CG program once
@@ -351,6 +353,17 @@ def run_one(n, iters, solver):
         "n": n,
         "timed_passes": 2,
     }
+    # Roofline: HBM traffic per CG iteration (model lower bound) over the
+    # measured per-iteration time -> achieved bandwidth. solve_s includes
+    # IR-outer and build overhead, so this UNDERSTATES the kernel rate.
+    op = seen.get("op")
+    if op is not None and hasattr(op, "traffic_model") and its > 0:
+        tm = op.traffic_model()
+        ms_it = (t1 - t_asm) / its * 1e3
+        result["hbm_bytes_per_it"] = int(tm["bytes_per_it"])
+        result["ms_per_it_incl_overhead"] = round(ms_it, 3)
+        result["achieved_gbps_lower_bound"] = round(
+            tm["bytes_per_it"] / ((t1 - t_asm) / its) / 1e9, 1)
     print(json.dumps(result), flush=True)
     return result
 

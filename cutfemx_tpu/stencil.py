@@ -509,6 +509,38 @@ class StencilCutOperator:
         invalid slots so Jacobi division is safe)."""
         return _grid_diag(*self._grid_statics(), *self._grid_arrays())
 
+    def traffic_model(self, pT=16):
+        """HBM bytes moved per preconditioned-CG iteration (pallas stack)
+        — the roofline denominator for achieved-bandwidth reporting.
+
+        Counts, per iteration: the fused interior-stencil apply (tile DMA
+        windows of (T+8)^2 rows per T^2 output rows -> ((T+8)/T)^2-
+        amplified read of the x grid + mask + one write), one read of
+        each folded-band tensor and ASM/coarse stage, and the CG/precond
+        vector recurrences (r, z, p, q, x updates and dot products,
+        counted as 12 grid-vector sweeps). A lower bound: it ignores
+        sub-line granularity and any XLA spills. Only meaningful after a
+        'pallas' solve has built the band/ASM/coarse stages."""
+        vec = self.gsize * 4
+        amp = ((pT + 8) / pT) ** 2
+        stencil = int((amp + 1) * vec)          # halo-amplified read + write
+        mp = getattr(self, "_pallas_Mp", None)
+        stencil += int(mp.nbytes * amp) if mp is not None else 0
+        band = sum(int(t.nbytes) for t in
+                   (getattr(self, "_bf_diag", None),
+                    getattr(self, "_bf_fwd", None),
+                    getattr(self, "_bf_rev", None)) if t is not None)
+        asm = int(getattr(self, "_asm_binv", jnp.zeros(0)).nbytes)
+        coarse = sum(int(t.nbytes) for t in
+                     (*(getattr(self, "_c_W", ()) or ()),
+                      getattr(self, "_c_acinv", None)) if t is not None)
+        cg_vecs = 12 * vec
+        total = stencil + band + asm + coarse + cg_vecs
+        return {"vec_bytes": vec, "stencil_bytes": stencil,
+                "band_bytes": band, "asm_bytes": asm,
+                "coarse_bytes": coarse, "cg_vec_bytes": cg_vecs,
+                "bytes_per_it": total}
+
     def solve_cg(self, b, rtol=1e-8, maxiter=500, precond="auto",
                  dispatch_chunk=None, refine="auto"):
         """Fully-jitted preconditioned CG, grid layout end-to-end: the
