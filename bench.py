@@ -299,7 +299,11 @@ def run_one(n, iters, solver):
                 kw["precond"] = pc
         x_, its, res = op.solve_cg(b, rtol=1e-6, maxiter=iters, **kw)
         x_.block_until_ready()
-        seen["op"] = op
+        # roofline accounting: keep only the byte-count ints — retaining
+        # the operator itself would pin its HBM tensors into the next
+        # pass (OOMs the n=108 timed pass, measured)
+        if hasattr(op, "traffic_model"):
+            seen["tm"] = op.traffic_model()
         return x_, its, res, t_mid
 
     # warm-up pass: compiles every kernel + the fused CG program once
@@ -356,9 +360,8 @@ def run_one(n, iters, solver):
     # Roofline: HBM traffic per CG iteration (model lower bound) over the
     # measured per-iteration time -> achieved bandwidth. solve_s includes
     # IR-outer and build overhead, so this UNDERSTATES the kernel rate.
-    op = seen.get("op")
-    if op is not None and hasattr(op, "traffic_model") and its > 0:
-        tm = op.traffic_model()
+    tm = seen.get("tm")
+    if tm is not None and its > 0:
         ms_it = (t1 - t_asm) / its * 1e3
         result["hbm_bytes_per_it"] = int(tm["bytes_per_it"])
         result["ms_per_it_incl_overhead"] = round(ms_it, 3)
