@@ -521,19 +521,21 @@ class StencilCutOperator:
         counted as 12 grid-vector sweeps). A lower bound: it ignores
         sub-line granularity and any XLA spills. Only meaningful after a
         'pallas' solve has built the band/ASM/coarse stages."""
+        def _nbytes(*vals):
+            return sum(int(getattr(leaf, "nbytes", 0))
+                       for v in vals if v is not None
+                       for leaf in jax.tree_util.tree_leaves(v))
+
         vec = self.gsize * 4
         amp = ((pT + 8) / pT) ** 2
         stencil = int((amp + 1) * vec)          # halo-amplified read + write
-        mp = getattr(self, "_pallas_Mp", None)
-        stencil += int(mp.nbytes * amp) if mp is not None else 0
-        band = sum(int(t.nbytes) for t in
-                   (getattr(self, "_bf_diag", None),
-                    getattr(self, "_bf_fwd", None),
-                    getattr(self, "_bf_rev", None)) if t is not None)
-        asm = int(getattr(self, "_asm_binv", jnp.zeros(0)).nbytes)
-        coarse = sum(int(t.nbytes) for t in
-                     (*(getattr(self, "_c_W", ()) or ()),
-                      getattr(self, "_c_acinv", None)) if t is not None)
+        stencil += int(_nbytes(getattr(self, "_pallas_Mp", None)) * amp)
+        band = _nbytes(getattr(self, "_bf_diag", None),
+                       getattr(self, "_bf_fwd", None),
+                       getattr(self, "_bf_rev", None))
+        asm = _nbytes(getattr(self, "_asm_binv", None))
+        coarse = _nbytes(getattr(self, "_c_W", None),
+                         getattr(self, "_c_acinv", None))
         cg_vecs = 12 * vec
         total = stencil + band + asm + coarse + cg_vecs
         return {"vec_bytes": vec, "stencil_bytes": stencil,
