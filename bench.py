@@ -79,6 +79,53 @@ _prefaulted_mb = 0
 _last_warmup_s = None
 
 
+def _start_d2h_warm():
+    """Absorb the tunnel's first device->host transfer wait EARLY.
+
+    The axon tunnel stalls the FIRST D2H of every process for a highly
+    variable 200-1800 s (measured: 1 MB download 441 s, then 25 MB/s;
+    back-to-back fresh processes paid 1854 s and 209 s) and every later
+    device op queues behind it. Nothing shrinks the wait from this side,
+    so the only levers are (a) start it at t=0 so prefault + host setup
+    (pure-host work, which does NOT block) overlap it, and (b) pay it
+    ONCE per bench run by keeping both legs in one process."""
+    def _w():
+        try:
+            import jax.numpy as jnp
+            t0 = time.perf_counter()
+            d = jnp.zeros(8)
+            d.block_until_ready()
+            np.asarray(d)
+            _note(f"first-D2H warm done ({time.perf_counter() - t0:.1f}s)")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            _note(f"first-D2H warm failed: {e!r}")
+    threading.Thread(target=_w, daemon=True).start()
+
+
+def _leg_teardown():
+    """Release leg-1 device memory before the n=108 leg starts.
+
+    The combined in-process flow OOMs at the n=108 operator build if the
+    n=48 leg's pinned build-cache stages, jit-captured constants, and
+    executables stay resident. Clearing the verified-reuse build cache
+    plus every jit executable cache drops them; leg 2's programs are
+    different shapes anyway, so nothing useful is lost."""
+    import gc
+    import jax
+    try:
+        from cutfemx_tpu import stencil
+        stencil._BUILD_CACHE.clear()
+    except Exception:
+        pass
+    jax.clear_caches()
+    gc.collect()
+    try:
+        left = sum(int(a.nbytes) for a in jax.live_arrays())
+        _note(f"teardown: {left / 1e6:.0f} MB of device arrays still live")
+    except Exception:
+        pass
+
+
 def _prefault(mb_total: int, deadline_s: float = 90.0, nthreads: int = 8):
     """Warm guest-physical memory BEFORE the timed regions.
 
@@ -371,42 +418,43 @@ def run_one(n, iters, solver):
     return result
 
 
-def _run_leg(n, timeout_s):
-    """Run one resolution in a CHILD process and stream its output.
+def _run_legs(legs, timeout_s):
+    """Run ALL resolutions in ONE child process and stream its output.
 
-    Process isolation between the two legs is REQUIRED, not cosmetic:
-    the n=48 leg's device allocations (pinned build-cache stages,
-    kernel-cache constants, live grid arrays) otherwise survive into the
-    n=108 warm-up and OOM the chip (measured: the combined in-process
-    flow dies RESOURCE_EXHAUSTED at the n=108 operator build, while the
-    standalone n=108 run fits with ~28s passes). A child tears down its
-    TPU client on exit, releasing every device buffer; the persistent
-    compile cache + host-setup cache keep the re-import cheap.
+    One process, not one per leg: the tunnel backend stalls the first
+    device->host transfer of EVERY process for a variable 200-1800 s
+    (see _start_d2h_warm) — per-leg children paid that wait twice and
+    never fit the driver budget. The child frees leg-1 device memory
+    before leg 2 (_leg_teardown) so the combined flow no longer OOMs at
+    the n=108 operator build.
 
-    Returns (returncode, warmup_seconds_or_None, last_json_row_or_None).
+    Returns (returncode, [warmup_seconds per leg], [json rows]).
     Child stdout (the JSON rows) and stderr (progress stamps) are
     forwarded live."""
     import re
     import subprocess
-    env = dict(os.environ, CUTFEMX_BENCH_N=str(n))
+    remaining = _BUDGET_S - (time.perf_counter() - _T0)
+    env = dict(os.environ,
+               CUTFEMX_BENCH_CHILD_LEGS=",".join(str(n) for n in legs),
+               CUTFEMX_BENCH_DEADLINE=str(time.time() + remaining - 10.0))
     p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True, bufsize=1)
-    warm = [None]
-    last_row = [None]
+    warms = []
+    rows = []
 
     def pump_err():
         for line in p.stderr:
             m = re.search(r"warm-up done \(([0-9.]+)s\)", line)
             if m:
-                warm[0] = float(m.group(1))
+                warms.append(float(m.group(1)))
             sys.stderr.write(line)
             sys.stderr.flush()
 
     def pump_out():
         for line in p.stdout:
             try:
-                last_row[0] = json.loads(line)
+                rows.append(json.loads(line))
             except ValueError:
                 pass
             sys.stdout.write(line)
@@ -419,7 +467,7 @@ def _run_leg(n, timeout_s):
     try:
         rc = p.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        _note(f"n={n} leg exceeded {timeout_s:.0f}s; terminating it "
+        _note(f"bench child exceeded {timeout_s:.0f}s; terminating it "
               "(earlier rows already printed stand)")
         p.terminate()
         try:
@@ -429,68 +477,76 @@ def _run_leg(n, timeout_s):
         rc = 124
     terr.join(timeout=5)
     tout.join(timeout=5)
-    return rc, warm[0], last_row[0]
+    return rc, warms, rows
+
+
+def _child_main(legs, iters, solver):
+    """Both legs, one process: D2H warm at t=0, teardown between legs,
+    self-describing skip when the deadline cannot fit the next leg."""
+    _start_d2h_warm()
+    deadline = float(os.environ.get("CUTFEMX_BENCH_DEADLINE", "0")) or None
+    last_row = None
+    for i, n in enumerate(legs):
+        if i > 0:
+            _leg_teardown()
+            if deadline is not None:
+                import time as _t
+                left = deadline - _t.time()
+                # warm-leg fixed costs: prefault top-up + host setup +
+                # warm-up pass + two timed passes. The first-D2H wait was
+                # paid in leg 1, so leg 2 scales off leg 1's REAL work
+                # (warm-up minus the wait is ~1.3x at n=108/48) plus
+                # ~140s of prefault/host-setup/pass costs.
+                w1 = _last_warmup_s or 0.0
+                need = 150.0 + 1.4 * min(w1, 300.0)
+                if left < need:
+                    _note(f"skipping n={n} leg: {left:.0f}s left before "
+                          f"the deadline, need ~{need:.0f}s")
+                    if last_row is not None:
+                        row = dict(last_row, skipped_legs=legs[i:],
+                                   skip_reason=(f"deadline: {left:.0f}s "
+                                                f"left, need ~{need:.0f}s"))
+                        print(json.dumps(row), flush=True)
+                    return
+        last_row = run_one(n, iters, solver)
 
 
 def main():
     iters = int(os.environ.get("CUTFEMX_BENCH_ITERS", "500"))
     solver = os.environ.get("CUTFEMX_BENCH_SOLVER", "stencil")
+    child_legs = os.environ.get("CUTFEMX_BENCH_CHILD_LEGS")
+    if child_legs is not None:
+        _child_main([int(s) for s in child_legs.split(",")], iters, solver)
+        return
     n_env = os.environ.get("CUTFEMX_BENCH_N")
     if n_env is not None:
+        _start_d2h_warm()
         run_one(int(n_env), iters, solver)
         return
     # Default driver flow: the n=48 row first (fast, always lands), then
     # the 10.2M-dof headline row (BASELINE.json's driver-defined metric)
-    # printed LAST so the driver parses it. Each leg runs in its own
-    # process (see _run_leg). CUTFEMX_BENCH_HEADLINE=0 restores the
-    # short run; CUTFEMX_BENCH_LEGS="a,b" overrides the resolutions
-    # (testing hook).
+    # printed LAST so the driver parses it. BOTH legs run in one child
+    # process (see _run_legs: the tunnel's first-D2H stall is paid once).
+    # CUTFEMX_BENCH_HEADLINE=0 restores the short run;
+    # CUTFEMX_BENCH_LEGS="a,b" overrides the resolutions (testing hook).
     legs = [int(s) for s in
             os.environ.get("CUTFEMX_BENCH_LEGS", "48,108").split(",")]
-    rc48, warm48, row48 = _run_leg(legs[0], _BUDGET_S)
-    if rc48 != 0:
-        _note(f"n={legs[0]} leg exited rc={rc48}")
-    if os.environ.get("CUTFEMX_BENCH_HEADLINE", "1") != "0":
-        # Budget check: the n=108 leg needs prefault (~40 s) + host setup
-        # (~45 s cached) + warm-up + two timed passes. With a warm compile
-        # cache that is ~4-6 min; without one (first run on a fresh
-        # machine) it will not fit and the n=48 row above is the round's
-        # insurance number.
-        elapsed = time.perf_counter() - _T0
-        remaining = _BUDGET_S - elapsed
-        # Proxy for cache warmth: how long the n=48 warm-up actually took.
-        # Measured r5 (full driver-command run): n=108 leg total = 120s of
-        # fixed costs (prefault 42 + host setup 34 + two ~20s passes) plus
-        # a warm-up that tracks the n=48 warm-up at ~1.34x (202s vs 151s;
-        # same program mix, bigger shapes). 1.7x + 140 keeps ~25% margin
-        # while still admitting the leg from a semi-warm cache — the old
-        # 3x + 240 formula skipped runs that would have fit by 2x.
-        if warm48 is None:
-            warm48 = 600.0
-        need = 140.0 + max(90.0, 1.7 * warm48)
-        if remaining < need:
-            _note(f"skipping n={legs[1]} leg: {remaining:.0f}s of budget "
-                  f"left, need ~{need:.0f}s (n={legs[0]} warm-up took "
-                  f"{warm48:.0f}s)")
-            # Self-describing failure mode: re-emit the insurance row with
-            # the skip recorded, so the driver artifact (which keeps the
-            # last JSON line) says WHY the headline scale is absent.
-            if row48 is not None:
-                row48 = dict(row48, skipped_legs=legs[1:],
-                             skip_reason=(f"budget: {remaining:.0f}s left, "
-                                          f"need ~{need:.0f}s (n={legs[0]} "
-                                          f"warm-up {warm48:.0f}s)"))
-                print(json.dumps(row48), flush=True)
-            return
-        rc_h, _, row_h = _run_leg(legs[1], remaining + 60.0)
-        if row_h is None and row48 is not None:
-            # Headline leg produced no row (crash/timeout): restate the
-            # insurance row with the failure recorded.
-            _note(f"n={legs[1]} leg produced no row (rc={rc_h}); "
-                  "re-emitting insurance row")
-            row48 = dict(row48, skipped_legs=legs[1:],
-                         skip_reason=f"n={legs[1]} leg rc={rc_h}, no row")
-            print(json.dumps(row48), flush=True)
+    if os.environ.get("CUTFEMX_BENCH_HEADLINE", "1") == "0":
+        legs = legs[:1]
+    rc, warms, rows = _run_legs(legs, _BUDGET_S + 30.0)
+    if rc != 0:
+        _note(f"bench child exited rc={rc}")
+    have_ns = {r.get("n") for r in rows}
+    missing = [n for n in legs if n not in have_ns]
+    if rows and missing and "skipped_legs" not in rows[-1]:
+        # Child died/timed out before the later legs: restate the last
+        # row with the failure recorded so the driver artifact (which
+        # keeps the last JSON line) says WHY the headline is absent.
+        _note(f"legs {missing} produced no row (rc={rc}); "
+              "re-emitting insurance row")
+        row = dict(rows[-1], skipped_legs=missing,
+                   skip_reason=f"child rc={rc}, legs {missing} missing")
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
