@@ -89,3 +89,20 @@ def test_pallas_interior_nondivisible_tile():
         op.n, op.N, op.nch, op.table, op.A_local, Mp, Xin, T=8,
         interpret=True))
     assert np.abs(y - y_ref).max() < 2e-6 * np.abs(y_ref).max()
+
+
+def test_traffic_model_after_pallas_solve():
+    """Roofline accounting: after a pallas-stack solve the per-iteration
+    HBM traffic model reports every stage with positive byte counts (the
+    fields bench.py publishes as hbm_bytes_per_it etc.)."""
+    op = _cut_operator(n=8)
+    b = jnp.ones(op.active.shape[0] if op.active is not None
+                 else op.gsize, jnp.float32)
+    op.solve_cg(b, rtol=1e-4, maxiter=30, precond="pallas")
+    tm = op.traffic_model()
+    for key in ("vec_bytes", "stencil_bytes", "band_bytes", "asm_bytes",
+                "coarse_bytes", "cg_vec_bytes", "bytes_per_it"):
+        assert tm[key] > 0, key
+    assert tm["bytes_per_it"] == (tm["stencil_bytes"] + tm["band_bytes"]
+                                  + tm["asm_bytes"] + tm["coarse_bytes"]
+                                  + tm["cg_vec_bytes"])
