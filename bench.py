@@ -538,7 +538,16 @@ def main():
         _note(f"bench child exited rc={rc}")
     have_ns = {r.get("n") for r in rows}
     missing = [n for n in legs if n not in have_ns]
-    if rows and missing and "skipped_legs" not in rows[-1]:
+    if not rows:
+        # Child produced no row at all: emit a self-describing failure
+        # row so the driver artifact records WHY there is no number.
+        print(json.dumps({
+            "metric": "cut_poisson_3d_p2_cut_assemble_solve_wallclock",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"bench child rc={rc}, no leg completed",
+            "skipped_legs": legs}), flush=True)
+        return
+    if missing and "skipped_legs" not in rows[-1]:
         # Child died/timed out before the later legs: restate the last
         # row with the failure recorded so the driver artifact (which
         # keeps the last JSON line) says WHY the headline is absent.
