@@ -36,31 +36,10 @@ import numpy as np
 
 _T0 = time.perf_counter()
 
-# Persistent XLA compilation cache: remote TPU compiles on this host cost
-# minutes per program (round-3 bench warm-up alone was ~1050 s, which blew
-# the driver window, BENCH_r03 rc=124). Cache entries verified to round-trip
-# through the axon tunnel backend (fresh-process compile 2.3 s -> 0.25 s).
-# The directory lives inside the repo so every bench invocation on this
-# machine (ours and the driver's) shares one warm cache.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".jax_cache")
-
-
-def _enable_compile_cache():
-    # Honors the same env opt-outs as the package's import-time setup
-    # (cutfemx_tpu/__init__.py): CUTFEMX_NO_COMPILE_CACHE disables,
-    # CUTFEMX_COMPILE_CACHE redirects; the repo-local dir is the default.
-    if os.environ.get("CUTFEMX_NO_COMPILE_CACHE"):
-        return
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("CUTFEMX_COMPILE_CACHE", _CACHE_DIR))
-    # threshold 0: the warm-up floor is ~300 sub-0.5s eager programs (cut/
-    # classify/quadrature phases) that a 0.5s threshold would re-compile
-    # remotely on EVERY fresh process (~0.4s RPC each, measured: 150s of a
-    # 151s warm-up produced 5 new cache entries). Persisting them all
-    # converts that to cache replays.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Compile-cache setup (persistent cache dir, threshold 0, CPU-run
+# exclusion, env opt-outs) is owned by the package: `import cutfemx_tpu`
+# applies it. Bench must import the package BEFORE any jax op so the
+# CUTFEMX_PLATFORM pin and the cache guard are authoritative.
 
 
 # Wall-clock budget for the whole bench process (the driver kills us around
@@ -77,6 +56,8 @@ def _note(msg):
 
 _prefaulted_mb = 0
 _last_warmup_s = None
+_last_warmup_t0 = None
+_d2h_done_t = None
 
 
 def _start_d2h_warm():
@@ -89,6 +70,11 @@ def _start_d2h_warm():
     so the only levers are (a) start it at t=0 so prefault + host setup
     (pure-host work, which does NOT block) overlap it, and (b) pay it
     ONCE per bench run by keeping both legs in one process."""
+    # the package import applies the CUTFEMX_PLATFORM pin and the
+    # compile-cache guard; it MUST precede the first jax op in any
+    # thread, so both the call sites and this thread import it first
+    import cutfemx_tpu  # noqa: F401
+
     def _w():
         try:
             import jax.numpy as jnp
@@ -96,6 +82,8 @@ def _start_d2h_warm():
             d = jnp.zeros(8)
             d.block_until_ready()
             np.asarray(d)
+            global _d2h_done_t
+            _d2h_done_t = time.perf_counter()
             _note(f"first-D2H warm done ({time.perf_counter() - t0:.1f}s)")
         except Exception as e:  # pragma: no cover - diagnostics only
             _note(f"first-D2H warm failed: {e!r}")
@@ -196,9 +184,9 @@ def _prefault(mb_total: int, deadline_s: float = 90.0, nthreads: int = 8):
 
 
 def run_one(n, iters, solver):
+    import cutfemx_tpu  # noqa: F401  (platform pin + compile-cache setup)
     import jax
 
-    _enable_compile_cache()
     # Verified-reuse build-cache pinning budget: cached preconditioner
     # stages stay in HBM across the next pass's assembly transients. At
     # n=108 the chip runs at its memory edge (even +600 MB pinned OOMs the
@@ -348,8 +336,10 @@ def run_one(n, iters, solver):
         x_.block_until_ready()
         # roofline accounting: keep only the byte-count ints — retaining
         # the operator itself would pin its HBM tensors into the next
-        # pass (OOMs the n=108 timed pass, measured)
-        if hasattr(op, "traffic_model"):
+        # pass (OOMs the n=108 timed pass, measured). The model covers
+        # the pallas stack only; other preconditioners would publish
+        # fabricated bandwidth numbers.
+        if kw.get("precond") == "pallas" and hasattr(op, "traffic_model"):
             seen["tm"] = op.traffic_model()
         return x_, its, res, t_mid
 
@@ -360,7 +350,8 @@ def run_one(n, iters, solver):
           "(remote compiles unless the persistent cache is warm)")
     warm_t0 = time.perf_counter()
     pipeline()
-    global _last_warmup_s
+    global _last_warmup_s, _last_warmup_t0
+    _last_warmup_t0 = warm_t0
     _last_warmup_s = time.perf_counter() - warm_t0
     _note(f"n={n}: warm-up done ({_last_warmup_s:.1f}s)")
 
@@ -428,10 +419,8 @@ def _run_legs(legs, timeout_s):
     before leg 2 (_leg_teardown) so the combined flow no longer OOMs at
     the n=108 operator build.
 
-    Returns (returncode, [warmup_seconds per leg], [json rows]).
-    Child stdout (the JSON rows) and stderr (progress stamps) are
-    forwarded live."""
-    import re
+    Returns (returncode, [json rows]). Child stdout (the JSON rows) and
+    stderr (progress stamps) are forwarded live."""
     import subprocess
     remaining = _BUDGET_S - (time.perf_counter() - _T0)
     env = dict(os.environ,
@@ -440,14 +429,10 @@ def _run_legs(legs, timeout_s):
     p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True, bufsize=1)
-    warms = []
     rows = []
 
     def pump_err():
         for line in p.stderr:
-            m = re.search(r"warm-up done \(([0-9.]+)s\)", line)
-            if m:
-                warms.append(float(m.group(1)))
             sys.stderr.write(line)
             sys.stderr.flush()
 
@@ -477,7 +462,7 @@ def _run_legs(legs, timeout_s):
         rc = 124
     terr.join(timeout=5)
     tout.join(timeout=5)
-    return rc, warms, rows
+    return rc, rows
 
 
 def _child_main(legs, iters, solver):
@@ -493,12 +478,18 @@ def _child_main(legs, iters, solver):
                 import time as _t
                 left = deadline - _t.time()
                 # warm-leg fixed costs: prefault top-up + host setup +
-                # warm-up pass + two timed passes. The first-D2H wait was
-                # paid in leg 1, so leg 2 scales off leg 1's REAL work
-                # (warm-up minus the wait is ~1.3x at n=108/48) plus
-                # ~140s of prefault/host-setup/pass costs.
+                # warm-up pass + two timed passes. The first-D2H stall was
+                # paid in leg 1, so leg 2 scales off leg 1's REAL warm-up
+                # work: subtract the measured stall time that overlapped
+                # leg 1's warm-up (warm-up minus the stall tracks ~1.3x
+                # at n=108/48) plus ~150s of prefault/host-setup/passes.
+                # No upward cap: a genuinely cold cache (large real w1)
+                # must skip honestly rather than start a leg the parent
+                # would kill mid-run.
                 w1 = _last_warmup_s or 0.0
-                need = 150.0 + 1.4 * min(w1, 300.0)
+                if _d2h_done_t is not None and _last_warmup_t0 is not None:
+                    w1 -= max(0.0, min(_d2h_done_t - _last_warmup_t0, w1))
+                need = 150.0 + 1.4 * w1
                 if left < need:
                     _note(f"skipping n={n} leg: {left:.0f}s left before "
                           f"the deadline, need ~{need:.0f}s")
@@ -533,7 +524,7 @@ def main():
             os.environ.get("CUTFEMX_BENCH_LEGS", "48,108").split(",")]
     if os.environ.get("CUTFEMX_BENCH_HEADLINE", "1") == "0":
         legs = legs[:1]
-    rc, warms, rows = _run_legs(legs, _BUDGET_S + 30.0)
+    rc, rows = _run_legs(legs, _BUDGET_S + 30.0)
     if rc != 0:
         _note(f"bench child exited rc={rc}")
     have_ns = {r.get("n") for r in rows}
